@@ -1,0 +1,272 @@
+"""Public API: one-shot and streaming compress/decompress per container.
+
+Mirrors the reference's 6-function surface per container module
+(/root/reference/src/flate.zig:10-71, gzip.zig, zlib.zig — documented at
+readme.md:100-125):
+
+    compress(data|reader, writer=None, level=...) -> bytes | None
+    decompress(data|reader, writer=None) -> bytes | None
+    Compressor(writer, level) -> .write()/.flush()/.finish()/.set_writer()
+    Decompressor(reader) -> .read()/.reset()/.set_reader()
+    huffman.* / store.* sub-mode namespaces
+
+plus the v1 capabilities the modern reference dropped (SURVEY §2.3): levels
+1-3 and gzip header metadata.
+"""
+
+from __future__ import annotations
+
+import io
+from types import SimpleNamespace
+from typing import Optional
+
+import numpy as np
+
+from . import consts
+from .bitpack import BitSink
+from .block import Tokens, write_block, write_flush_marker, write_huffman_only, write_stored
+from .containers import Container, GzipMetadata, Hasher, write_footer, write_header
+from .deflate import CompressOptions, deflate_tokens, tokenize_shard
+from .inflate import decompress_member
+
+
+def _to_bytes(src) -> bytes:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return bytes(src)
+    return src.read()
+
+
+class Compressor:
+    """Streaming compressor: write()/flush()/finish(), reset(), set_writer().
+
+    Buffers input into shard-sized chunks and encodes each with the parallel
+    pipeline; flush() force-encodes buffered data and emits the byte-sync
+    marker (empty stored block), matching deflate.zig:325-337 semantics so a
+    reader can decode everything produced so far.
+    """
+
+    def __init__(self, writer, container: Container = Container.RAW,
+                 level: int = consts.LEVEL_DEFAULT,
+                 meta: Optional[GzipMetadata] = None,
+                 opts: Optional[CompressOptions] = None):
+        self._writer = writer
+        self._container = container
+        self._opts = opts or CompressOptions(level=level)
+        self._opts.level = level if opts is None else self._opts.level
+        self._meta = meta
+        self._mode = "deflate"
+        self._start()
+
+    def _start(self) -> None:
+        self._hasher = Hasher(self._container)
+        self._buf = bytearray()
+        self._context = b""
+        self._finished = False
+        self._writer.write(write_header(self._container, self._meta))
+
+    # -- sub-mode constructors -------------------------------------------
+    @classmethod
+    def huffman_only(cls, writer, container: Container = Container.RAW,
+                     meta: Optional[GzipMetadata] = None) -> "Compressor":
+        c = cls(writer, container, meta=meta)
+        c._mode = "huffman"
+        return c
+
+    @classmethod
+    def store_only(cls, writer, container: Container = Container.RAW,
+                   meta: Optional[GzipMetadata] = None) -> "Compressor":
+        c = cls(writer, container, meta=meta)
+        c._mode = "store"
+        return c
+
+    # --------------------------------------------------------------------
+    def write(self, data: bytes) -> int:
+        assert not self._finished, "write after finish"
+        self._hasher.update(data)
+        self._buf += data
+        # encode all complete shards, keep the remainder buffered.  The
+        # streaming path always byte-syncs between shards so every write to
+        # the underlying writer is a valid byte-aligned prefix.
+        while len(self._buf) > self._opts.shard_len:
+            self._encode_shard(self._opts.shard_len, final=False, sync=True)
+        return len(data)
+
+    def _encode_shard(self, n: int, final: bool, sync: bool) -> None:
+        chunk = bytes(self._buf[:n])
+        del self._buf[:n]
+        sink = BitSink()
+        if not chunk and not final:
+            # bare flush: just the byte-sync marker (deflate.zig:335-337)
+            write_flush_marker(sink)
+            self._writer.write(sink.getvalue())
+            return
+        if self._mode == "store":
+            write_stored(sink, chunk, final)
+        elif self._mode == "huffman":
+            write_huffman_only(sink, chunk, final)
+        else:
+            ctx = np.frombuffer(self._context, dtype=np.uint8) \
+                if (self._opts.context and self._context) else None
+            toks = tokenize_shard(np.frombuffer(chunk, dtype=np.uint8),
+                                  ctx, self._opts.level)
+            write_block(sink, toks, final=final, raw=chunk)
+        if sync and not final:
+            write_flush_marker(sink)
+        # shard outputs are byte-aligned thanks to the sync marker (or the
+        # implicit final alignment), so plain byte append is exact
+        if final:
+            sink.align_to_byte()
+        self._writer.write(sink.getvalue())
+        self._context = chunk[-consts.MAX_DISTANCE:]
+
+    def flush(self) -> None:
+        """Byte-sync everything buffered so far (network-protocol flush)."""
+        assert not self._finished, "flush after finish"
+        self._encode_shard(len(self._buf), final=False, sync=True)
+
+    def finish(self) -> None:
+        """Emit the final block and the container footer."""
+        assert not self._finished, "double finish"
+        self._encode_shard(len(self._buf), final=True, sync=False)
+        self._writer.write(write_footer(self._container, self._hasher))
+        self._finished = True
+
+    def reset(self) -> None:
+        """Start a fresh stream (new member) on the same writer."""
+        self._start()
+
+    def set_writer(self, writer) -> None:
+        """Swap the output sink mid-stream (deflate.zig:351-354)."""
+        self._writer = writer
+
+    def close(self) -> None:
+        if not self._finished:
+            self.finish()
+
+
+class Decompressor:
+    """Streaming decompressor: read()/reset()/set_reader().
+
+    Pull-based like the reference's Inflate iterator (inflate.zig:315-336):
+    decoded members are served in chunks; reset() continues with the next
+    concatenated stream in the same buffer.
+    """
+
+    def __init__(self, reader, container: Container = Container.RAW,
+                 verify: bool = True):
+        self._data = _to_bytes(reader)
+        self._container = container
+        self._verify = verify
+        self._pos = 0
+        self._out: Optional[bytes] = None
+        self._out_pos = 0
+
+    def _ensure_decoded(self) -> None:
+        if self._out is None:
+            self._out, self._pos = decompress_member(
+                self._data, self._pos, self._container, self._verify)
+            self._out_pos = 0
+
+    def read(self, n: int = -1) -> bytes:
+        self._ensure_decoded()
+        if n < 0:
+            n = len(self._out) - self._out_pos
+        chunk = self._out[self._out_pos:self._out_pos + n]
+        self._out_pos += len(chunk)
+        return chunk
+
+    def read_all(self) -> bytes:
+        return self.read(-1)
+
+    def decompress(self, writer) -> None:
+        writer.write(self.read_all())
+
+    def reset(self) -> None:
+        """Prepare for the next concatenated stream (inflate.zig:301-309)."""
+        self._out = None
+        self._out_pos = 0
+
+    def at_end(self) -> bool:
+        return self._pos >= len(self._data)
+
+    def set_reader(self, reader) -> None:
+        """Resume with additional input (inflate.zig:283)."""
+        self._data = self._data[self._pos:] + _to_bytes(reader)
+        self._pos = 0
+
+
+# ---------------------------------------------------------------------------
+# One-shot helpers + container-specialized namespaces
+# ---------------------------------------------------------------------------
+
+def _compress_oneshot(data, writer, container: Container, level: int,
+                      mode: str, meta: Optional[GzipMetadata],
+                      opts: Optional[CompressOptions]):
+    raw = _to_bytes(data)
+    out = io.BytesIO() if writer is None else writer
+    if mode == "deflate":
+        c = Compressor(out, container, level=level, meta=meta, opts=opts)
+    elif mode == "huffman":
+        c = Compressor.huffman_only(out, container, meta=meta)
+    else:
+        c = Compressor.store_only(out, container, meta=meta)
+    c.write(raw)
+    c.finish()
+    if writer is None:
+        return out.getvalue()
+    return None
+
+
+def _decompress_oneshot(data, writer, container: Container, verify: bool = True):
+    raw = _to_bytes(data)
+    from .inflate import decompress_multi
+    out = decompress_multi(raw, container, verify)
+    if writer is None:
+        return out
+    writer.write(out)
+    return None
+
+
+def _make_namespace(container: Container) -> SimpleNamespace:
+    def compress(data, writer=None, level: int = consts.LEVEL_DEFAULT,
+                 meta=None, opts=None):
+        return _compress_oneshot(data, writer, container, level, "deflate",
+                                 meta, opts)
+
+    def decompress(data, writer=None, verify: bool = True):
+        return _decompress_oneshot(data, writer, container, verify)
+
+    def compressor(writer, level: int = consts.LEVEL_DEFAULT, meta=None,
+                   opts=None):
+        return Compressor(writer, container, level=level, meta=meta, opts=opts)
+
+    def decompressor(reader, verify: bool = True):
+        return Decompressor(reader, container, verify)
+
+    huffman = SimpleNamespace(
+        compress=lambda data, writer=None, meta=None: _compress_oneshot(
+            data, writer, container, 0, "huffman", meta, None),
+        decompress=decompress,
+        compressor=lambda writer, meta=None: Compressor.huffman_only(
+            writer, container, meta=meta),
+        decompressor=decompressor,
+    )
+    store = SimpleNamespace(
+        compress=lambda data, writer=None, meta=None: _compress_oneshot(
+            data, writer, container, 0, "store", meta, None),
+        decompress=decompress,
+        compressor=lambda writer, meta=None: Compressor.store_only(
+            writer, container, meta=meta),
+        decompressor=decompressor,
+    )
+    return SimpleNamespace(
+        compress=compress, decompress=decompress,
+        compressor=compressor, decompressor=decompressor,
+        Compressor=Compressor, Decompressor=Decompressor,
+        huffman=huffman, store=store, container=container,
+    )
+
+
+flate = _make_namespace(Container.RAW)
+gzip = _make_namespace(Container.GZIP)
+zlib_ns = _make_namespace(Container.ZLIB)

@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Sharding / device tests run on a virtual 8-device CPU mesh so multi-chip
+paths are testable without a pod (SURVEY §4 translation note).  Set up the
+XLA flags BEFORE jax initializes.
+"""
+
+import os
+import pathlib
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+DATA = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def fuzz_dir() -> pathlib.Path:
+    return DATA / "fuzz"
+
+
+@pytest.fixture(scope="session")
+def block_writer_dir() -> pathlib.Path:
+    return DATA / "block_writer"
+
+
+@pytest.fixture(scope="session")
+def rfc_text() -> bytes:
+    return (pathlib.Path("/root/reference/src/flate/testdata/rfc1951.txt")
+            .read_bytes())
