@@ -1,0 +1,270 @@
+"""Gather-free LZ77 match search on TPU — batch-native formulation.
+
+The host spec (flate_tpu.deflate.find_matches) gathers candidate windows —
+fine for numpy, catastrophic on TPU where XLA gathers scalarize.  This
+module re-derives the same candidate semantics with no per-candidate
+gathers, no 64-bit arithmetic, and no vmap (every op carries the batch
+dimension natively: vmap-of-scatter/sort lowers badly on TPU):
+
+1. pack each position's next 32 bytes into eight u32 lanes (vector shifts);
+2. batched argsort by (hash4, pos); after sorting, the K most recent
+   same-hash predecessors of a position are simply the K previous rows, so
+   candidate scoring is a fori_loop of rolls + vector compares;
+3. match length within the carried 32 bytes = trailing-zero-byte count of
+   XOR'd lanes (mask ladder);
+4. lengths beyond 32 are recovered exactly in two gather-free passes:
+   small-distance run lengths (reverse associative scan) and general-
+   distance same-d continuation chains (reverse affine scan, stride 32);
+5. one flattened scatter returns results to position order.
+
+All arrays are (B, W); shard batch B is the leading axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import consts
+
+CTX = consts.MAX_DISTANCE            # context bytes prepended to each shard
+CAP = 32
+SMALL_DISTS = (1, 2, 3, 4, 8)
+SCORE_SHIFT = 16                     # score = (len << 16) - dist; dist<=32768
+
+
+def _take(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched last-axis gather: out[b, i] = arr[b, idx[b, i]]."""
+    return jnp.take_along_axis(arr, idx, axis=-1)
+
+
+def _pack_words_u32(window: jnp.ndarray, nwords: int) -> list[jnp.ndarray]:
+    """w[t][b, i] = bytes window[b, i+4t .. i+4t+4) packed LE u32.
+    Reads past the end see zeros."""
+    B, W = window.shape
+    ext = jnp.concatenate([
+        window, jnp.zeros((B, 4 * nwords + 4), dtype=window.dtype)
+    ], axis=1).astype(jnp.uint32)
+    words = []
+    for t in range(nwords):
+        w = jnp.zeros((B, W), dtype=jnp.uint32)
+        for j in range(4):
+            o = 4 * t + j
+            w = w | (ext[:, o:o + W] << jnp.uint32(8 * j))
+        words.append(w)
+    return words
+
+
+def _tz_bytes_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Count of low-order zero BYTES of a u32 (0..4)."""
+    cnt = ((x & 0xFF) == 0).astype(jnp.int32)
+    cnt = cnt + ((x & 0xFFFF) == 0)
+    cnt = cnt + ((x & 0xFFFFFF) == 0)
+    cnt = cnt + (x == 0)
+    return cnt
+
+
+def _match_len(words_a, words_b) -> jnp.ndarray:
+    """Common-prefix byte length of lists of (B, N) u32 window words."""
+    total = jnp.zeros(words_a[0].shape, jnp.int32)
+    carry = jnp.ones(words_a[0].shape, jnp.bool_)
+    for a, b in zip(words_a, words_b):
+        c = _tz_bytes_u32(a ^ b)
+        total = total + jnp.where(carry, c, 0)
+        carry = carry & (c == 4)
+    return total
+
+
+def _hashes(window: jnp.ndarray, nbytes: int) -> jnp.ndarray:
+    """15-bit Fibonacci hash of each position's next `nbytes` bytes;
+    positions lacking a full prefix get unique never-matching buckets."""
+    B, W = window.shape
+    ext = jnp.concatenate([
+        window, jnp.zeros((B, nbytes), window.dtype)], axis=1
+    ).astype(jnp.uint32)
+    v = jnp.zeros((B, W), jnp.uint32)
+    for j in range(nbytes):
+        v = (v << jnp.uint32(8)) | ext[:, j:j + W]
+    h = ((v * jnp.uint32(consts.HASH_MUL))
+         >> jnp.uint32(32 - consts.LOOKUP_BITS)).astype(jnp.int32)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.where(pos >= W - (nbytes - 1),
+                     (1 << consts.LOOKUP_BITS) + pos, h)
+
+
+def _unsort_scatter(spos: jnp.ndarray, *vals, fill=0) -> list[jnp.ndarray]:
+    """Scatter sorted-order values back to position order, batched via one
+    flattened 1D scatter per array."""
+    B, W = spos.shape
+    base = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]
+    flat_idx = (base + spos).reshape(-1)
+    out = []
+    for v, f in vals:
+        o = jnp.full(B * W, f, v.dtype).at[flat_idx].set(v.reshape(-1))
+        out.append(o.reshape(B, W))
+    return out
+
+
+def _candidate_best(h: jnp.ndarray, words, K: int,
+                    min_src: jnp.ndarray, maxlen_of_pos: jnp.ndarray,
+                    min_len: int) -> tuple[jnp.ndarray, ...]:
+    """Scan K sorted same-hash predecessors; returns per-position
+    (best_len, best_dist, best_score), position order, shape (B, W)."""
+    B, W = h.shape
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    spos = jnp.argsort(h, axis=-1, stable=True).astype(jnp.int32)
+    sh = _take(h, spos)
+    swords = [_take(w, spos) for w in words]
+    smaxlen = jnp.minimum(consts.MAX_MATCH_LEN,
+                          W - spos)  # maxlen by true position
+
+    def body(k, carry):
+        best_score, best_len, best_dist, ch, cpos, cwords = carry
+        ch = jnp.roll(ch, 1, axis=-1)
+        cpos = jnp.roll(cpos, 1, axis=-1)
+        cwords = [jnp.roll(w, 1, axis=-1) for w in cwords]
+        dist = spos - cpos
+        valid = ((ch == sh) & (pos >= k) & (dist >= 1)
+                 & (dist <= consts.MAX_DISTANCE)
+                 & (cpos >= min_src[:, None]))
+        ml = jnp.minimum(_match_len(swords, cwords), smaxlen)
+        score = (ml << SCORE_SHIFT) - dist
+        score = jnp.where(valid & (ml >= min_len), score, -1)
+        upd = score > best_score
+        return (jnp.where(upd, score, best_score),
+                jnp.where(upd, ml, best_len),
+                jnp.where(upd, dist, best_dist),
+                ch, cpos, cwords)
+
+    init = (jnp.full((B, W), -1, jnp.int32), jnp.zeros((B, W), jnp.int32),
+            jnp.zeros((B, W), jnp.int32), sh, spos, swords)
+    best_score, best_len, best_dist, *_ = jax.lax.fori_loop(
+        1, K + 1, body, init)
+
+    mlen, mdist, mscore = _unsort_scatter(
+        spos, (best_len, 0), (best_dist, 0), (best_score, -1))
+    return mlen, mdist, mscore
+
+
+def _small_dist_runs(window: jnp.ndarray, maxlen: jnp.ndarray,
+                     min_src: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact full match lengths for the special small distances via a
+    reverse 'leading ones' associative scan.  Returns (len, dist)."""
+    B, W = window.shape
+    best_len = jnp.zeros((B, W), jnp.int32)
+    best_dist = jnp.zeros((B, W), jnp.int32)
+    arange = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def op(x, y):
+        # run-length of leading ones: (count, all_ones).  Under
+        # reverse=True the SECOND operand is the earlier (lower-index)
+        # element, so the combined count starts from y.
+        cx, fx = x
+        cy, fy = y
+        return cy + jnp.where(fy, cx, 0), fx & fy
+
+    for d in SMALL_DISTS:
+        eq = jnp.concatenate([
+            jnp.zeros((B, d), jnp.bool_),
+            window[:, d:] == window[:, :-d],
+        ], axis=1)
+        eq = eq & (arange >= (min_src[:, None] + d))
+        cnt, _ = jax.lax.associative_scan(
+            op, (eq.astype(jnp.int32), eq), reverse=True, axis=1)
+        ln = jnp.minimum(jnp.minimum(cnt, consts.MAX_MATCH_LEN), maxlen)
+        score_new = (ln << SCORE_SHIFT) - d
+        score_old = (best_len << SCORE_SHIFT) - best_dist
+        upd = (ln >= consts.MIN_MATCH_LEN) & \
+            ((best_len == 0) | (score_new > score_old))
+        best_len = jnp.where(upd, ln, best_len)
+        best_dist = jnp.where(upd, d, best_dist)
+    return best_len, best_dist
+
+
+def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
+                   maxlen: jnp.ndarray) -> jnp.ndarray:
+    """Compose capped same-distance matches along stride-32 chains.
+
+    If mlen[i] == CAP (capped) and mdist[i + CAP] == mdist[i], the true
+    length is CAP + true_len(i + CAP): a reverse affine associative scan
+    per stride-32 chain resolves all compositions at once."""
+    B, W = mlen.shape
+    pad = (-W) % CAP
+    if pad:
+        mlen = jnp.concatenate(
+            [mlen, jnp.zeros((B, pad), mlen.dtype)], axis=1)
+        mdist = jnp.concatenate(
+            [mdist, jnp.zeros((B, pad), mdist.dtype)], axis=1)
+    rows = mlen.shape[1] // CAP
+    l2 = mlen.reshape(B, rows, CAP)
+    d2 = mdist.reshape(B, rows, CAP)
+    nxt_d = jnp.concatenate(
+        [d2[:, 1:], jnp.zeros((B, 1, CAP), d2.dtype)], axis=1)
+    chain = (l2 == CAP) & (nxt_d == d2) & (d2 > 0)
+    a = jnp.where(chain, CAP, l2).astype(jnp.int32)
+    b = chain.astype(jnp.int32)
+
+    def op(x, y):
+        # affine composition L = a + b*L_next; under reverse=True the
+        # second operand is the earlier (lower-index) map, which applies
+        # on the outside: (y after x)(v) = a_y + b_y*(a_x + b_x*v)
+        ax, bx = x
+        ay, by = y
+        return ay + by * ax, bx * by
+
+    total, _ = jax.lax.associative_scan(op, (a, b), reverse=True, axis=1)
+    out = jnp.minimum(total.reshape(B, -1)[:, :W], consts.MAX_MATCH_LEN)
+    return jnp.minimum(out, maxlen)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "K3", "min_len", "ctx"))
+def find_matches_device(window: jnp.ndarray, ctx_len: jnp.ndarray,
+                        K: int = 64, K3: int = 8, min_len: int = 3,
+                        ctx: int = CTX
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (len, dist) per window position on device.
+
+    window: (B, W) uint8 = [ctx context bytes | shard bytes] per row;
+    positions with index < ctx - ctx_len[b] are invalid sources (unprimed
+    context).  Returns (mlen, mdist) of shape (B, W) — entries for context
+    positions are computed too and simply ignored by the parser.
+    """
+    B, W = window.shape
+    pos_arange = jnp.arange(W, dtype=jnp.int32)[None, :]
+    maxlen_of_pos = jnp.minimum(consts.MAX_MATCH_LEN, W - pos_arange)
+    maxlen_of_pos = jnp.broadcast_to(maxlen_of_pos, (B, W))
+    min_src = (ctx - ctx_len).astype(jnp.int32)
+
+    # main table: 4-byte hash, 32 carried bytes
+    mlen, mdist, mscore = _candidate_best(
+        _hashes(window, 4), _pack_words_u32(window, 8), K,
+        min_src, maxlen_of_pos, min_len)
+
+    # secondary table: 3-byte hash, 8 carried bytes (len 3..8 discovery)
+    mlen3, mdist3, mscore3 = _candidate_best(
+        _hashes(window, 3), _pack_words_u32(window, 2), K3,
+        min_src, maxlen_of_pos, min_len)
+    upd = mscore3 > mscore
+    mlen = jnp.where(upd, mlen3, mlen)
+    mdist = jnp.where(upd, mdist3, mdist)
+    mscore = jnp.maximum(mscore, mscore3)
+
+    # small-distance exact runs (full lengths, no cap)
+    rlen, rdist = _small_dist_runs(window, maxlen_of_pos, min_src)
+    rscore = jnp.where(rlen >= consts.MIN_MATCH_LEN,
+                       (rlen << SCORE_SHIFT) - rdist, -1)
+    upd = rscore > mscore
+    mlen = jnp.where(upd, rlen, mlen)
+    mdist = jnp.where(upd, rdist, mdist)
+
+    # general-distance extension past the 32-byte carry cap
+    mlen = _extend_chains(mlen, mdist, maxlen_of_pos)
+
+    # too-far heuristic for minimum-length matches
+    drop = (mlen == consts.MIN_MATCH_LEN) & (mdist > 4096)
+    mlen = jnp.where(drop, 0, mlen)
+    mdist = jnp.where(drop, 0, mdist)
+    return mlen, mdist

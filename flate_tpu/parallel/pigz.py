@@ -1,0 +1,148 @@
+"""pigz-style data-parallel compression over a TPU mesh.
+
+Each 128 KiB shard is an independent deflate unit terminated by a sync
+flush, so shards compress with zero cross-device communication; the only
+collective state is the ordered splice (per-shard bit lengths) and the
+container checksum, combined associatively on the host (or with a tiny
+all_gather when staying on device).
+
+Context priming: each shard is primed with the previous shard's last 32 KiB
+as read-only history.  The priming bytes are part of the shard's input
+window (pure data placement — the neighbour shard's bytes are replicated
+into this shard's window on the host during batching), so no halo exchange
+collective is required; on a pod slice the window construction can instead
+ride ICI with a ppermute of the 32 KiB tails — see `permute_context`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import block, consts, tables
+from ..bitpack import BitSink
+from ..checksums import crc32, crc32_combine
+from ..containers import Container, Hasher, write_footer, write_header
+from ..jx import pipeline as pl
+from ..jx import match as mtc
+
+
+def make_mesh(devices=None, axis: str = "shards") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def combined_crc32(shard_bytes: list[bytes]) -> int:
+    """CRC32 of the concatenation via per-shard CRCs + GF(2) combine —
+    the associative reduction a pod slice computes with an all-reduce."""
+    crc = 0
+    for s in shard_bytes:
+        crc = crc32_combine(crc, crc32(s), len(s))
+    return crc & 0xFFFFFFFF
+
+
+def permute_context(shards: jnp.ndarray) -> jnp.ndarray:
+    """Device-side context exchange: each shard receives the previous
+    shard's 32 KiB tail.  shards: (B, S) uint8 sharded on the batch axis;
+    under jit+sharding the row shift lowers to a ppermute over ICI.
+    Returns (B, CTX) context rows (row 0 zeros)."""
+    tails = shards[:, -consts.MAX_DISTANCE:]
+    rolled = jnp.roll(tails, 1, axis=0)
+    return rolled.at[0].set(0)
+
+
+def compress_mesh(data: bytes, mesh: Mesh,
+                  level: int = consts.LEVEL_DEFAULT,
+                  container: Container = Container.GZIP,
+                  shard_len: int = consts.SHARD_LEN,
+                  ctx: int = mtc.CTX,
+                  axis: str = "shards") -> bytes:
+    """One-shot compress, data-parallel over the mesh's devices.
+
+    The shard batch axis is sharded across the mesh; phase1/phase2 run
+    SPMD with no collectives (independent shards), then the variable-length
+    bitstreams are spliced in shard order.
+    """
+    if level not in consts.LEVEL_PARAMS:
+        raise ValueError(f"invalid level {level}")
+    K, _nice, lazy, max_lazy = consts.LEVEL_PARAMS[level]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    ndev = mesh.devices.size
+    nfull = n // shard_len
+
+    out = bytearray()
+    out += write_header(container)
+    sink = BitSink()
+    hasher = Hasher(container)
+    hasher.nbytes = n
+    if container is Container.GZIP:
+        # associative per-shard CRC + combine (the multi-host reduction)
+        hasher.value = combined_crc32(
+            [data[i:i + (1 << 22)] for i in range(0, n, 1 << 22)])
+    elif container is Container.ZLIB:
+        from ..checksums import adler32
+        hasher.value = adler32(data)
+
+    spec_in = NamedSharding(mesh, P(axis, None))
+    spec_1d = NamedSharding(mesh, P(axis))
+
+    # process ndev shards per step so each device gets exactly one
+    step = ndev
+    for base in range(0, nfull, step):
+        nb = min(step, nfull - base)
+        pad_b = step - nb  # pad the batch so the shard axis divides evenly
+        windows = np.zeros((step, ctx + shard_len), dtype=np.uint8)
+        ctx_lens = np.zeros(step, dtype=np.int32)
+        shard_views = []
+        for i in range(nb):
+            lo = (base + i) * shard_len
+            c = min(ctx, lo)
+            windows[i, ctx - c:ctx] = arr[lo - c:lo]
+            windows[i, ctx:] = arr[lo:lo + shard_len]
+            ctx_lens[i] = c
+            shard_views.append(arr[lo:lo + shard_len])
+
+        wdev = jax.device_put(jnp.asarray(windows), spec_in)
+        cdev = jax.device_put(jnp.asarray(ctx_lens), spec_1d)
+        tok, hll, hdd = pl.phase1(wdev, cdev, ctx=ctx, K=K, K3=min(8, K),
+                                  lazy=lazy, max_lazy=max_lazy)
+        plans = pl.plan_shards(np.asarray(hll)[:nb], np.asarray(hdd)[:nb],
+                               shard_views)
+
+        llp = np.zeros((step, consts.NUM_LITLEN), dtype=np.uint32)
+        dp = np.zeros((step, consts.NUM_DIST), dtype=np.uint32)
+        for i, p in enumerate(plans):
+            if p.kind in ("dynamic", "fixed"):
+                llp[i] = pl._packed_table(tables.canonical_codes(p.ll_lens),
+                                          p.ll_lens, consts.NUM_LITLEN)
+                dp[i] = pl._packed_table(tables.canonical_codes(p.d_lens),
+                                         p.d_lens, consts.NUM_DIST)
+        words, tbits = pl.phase2(tok,
+                                 jax.device_put(jnp.asarray(llp), spec_in),
+                                 jax.device_put(jnp.asarray(dp), spec_in))
+        words = np.asarray(words)
+        tbits = np.asarray(tbits)
+
+        for i, p in enumerate(plans):
+            is_last = (base + i == nfull - 1) and (n % shard_len == 0)
+            pl.emit_shard(sink, p, words[i], int(tbits[i]), shard_views[i],
+                          is_last)
+            if not is_last:
+                block.write_flush_marker(sink)
+
+    rem = arr[nfull * shard_len:]
+    if rem.size or nfull == 0:
+        from ..deflate import tokenize_shard
+        ctx_bytes = arr[max(0, nfull * shard_len - consts.MAX_DISTANCE):
+                        nfull * shard_len]
+        toks = tokenize_shard(rem, ctx_bytes if ctx_bytes.size else None,
+                              level)
+        block.write_block(sink, toks, final=True, raw=rem.tobytes())
+
+    sink.align_to_byte()
+    out += sink.getvalue()
+    out += write_footer(container, hasher)
+    return bytes(out)

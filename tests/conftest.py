@@ -8,7 +8,11 @@ XLA flags BEFORE jax initializes.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the environment pre-sets JAX_PLATFORMS=axon (the TPU
+# tunnel) and the plugin ignores JAX_PLATFORMS=cpu, but honours
+# JAX_PLATFORM_NAME
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
