@@ -48,21 +48,26 @@ class Compressor:
     def __init__(self, writer, container: Container = Container.RAW,
                  level: int = consts.LEVEL_DEFAULT,
                  meta: Optional[GzipMetadata] = None,
-                 opts: Optional[CompressOptions] = None):
+                 opts: Optional[CompressOptions] = None,
+                 dictionary: Optional[bytes] = None):
         self._writer = writer
         self._container = container
         self._opts = opts or CompressOptions(level=level)
         self._opts.level = level if opts is None else self._opts.level
         self._meta = meta
+        self._dictionary = dictionary
         self._mode = "deflate"
         self._start()
 
     def _start(self) -> None:
         self._hasher = Hasher(self._container)
         self._buf = bytearray()
-        self._context = b""
+        # preset dictionary primes the first shard's match context
+        # (v1 parity: v1/deflate/compressor.zig:205-224)
+        self._context = bytes(self._dictionary or b"")
         self._finished = False
-        self._writer.write(write_header(self._container, self._meta))
+        self._writer.write(write_header(self._container, self._meta,
+                                        self._dictionary))
 
     # -- sub-mode constructors -------------------------------------------
     @classmethod
@@ -153,10 +158,11 @@ class Decompressor:
     """
 
     def __init__(self, reader, container: Container = Container.RAW,
-                 verify: bool = True):
+                 verify: bool = True, dictionary: Optional[bytes] = None):
         self._data = _to_bytes(reader)
         self._container = container
         self._verify = verify
+        self._dictionary = dictionary
         self._pos = 0
         self._out: Optional[bytes] = None
         self._out_pos = 0
@@ -164,7 +170,8 @@ class Decompressor:
     def _ensure_decoded(self) -> None:
         if self._out is None:
             self._out, self._pos = decompress_member(
-                self._data, self._pos, self._container, self._verify)
+                self._data, self._pos, self._container, self._verify,
+                self._dictionary)
             self._out_pos = 0
 
     def read(self, n: int = -1) -> bytes:
@@ -201,11 +208,13 @@ class Decompressor:
 
 def _compress_oneshot(data, writer, container: Container, level: int,
                       mode: str, meta: Optional[GzipMetadata],
-                      opts: Optional[CompressOptions]):
+                      opts: Optional[CompressOptions],
+                      dictionary: Optional[bytes] = None):
     raw = _to_bytes(data)
     out = io.BytesIO() if writer is None else writer
     if mode == "deflate":
-        c = Compressor(out, container, level=level, meta=meta, opts=opts)
+        c = Compressor(out, container, level=level, meta=meta, opts=opts,
+                       dictionary=dictionary)
     elif mode == "huffman":
         c = Compressor.huffman_only(out, container, meta=meta)
     else:
@@ -217,10 +226,14 @@ def _compress_oneshot(data, writer, container: Container, level: int,
     return None
 
 
-def _decompress_oneshot(data, writer, container: Container, verify: bool = True):
+def _decompress_oneshot(data, writer, container: Container,
+                        verify: bool = True, dictionary=None):
     raw = _to_bytes(data)
-    from .inflate import decompress_multi
-    out = decompress_multi(raw, container, verify)
+    if dictionary is not None:
+        out, _ = decompress_member(raw, 0, container, verify, dictionary)
+    else:
+        from .inflate import decompress_multi
+        out = decompress_multi(raw, container, verify)
     if writer is None:
         return out
     writer.write(out)
@@ -229,19 +242,21 @@ def _decompress_oneshot(data, writer, container: Container, verify: bool = True)
 
 def _make_namespace(container: Container) -> SimpleNamespace:
     def compress(data, writer=None, level: int = consts.LEVEL_DEFAULT,
-                 meta=None, opts=None):
+                 meta=None, opts=None, dictionary=None):
         return _compress_oneshot(data, writer, container, level, "deflate",
-                                 meta, opts)
+                                 meta, opts, dictionary)
 
-    def decompress(data, writer=None, verify: bool = True):
-        return _decompress_oneshot(data, writer, container, verify)
+    def decompress(data, writer=None, verify: bool = True, dictionary=None):
+        return _decompress_oneshot(data, writer, container, verify,
+                                   dictionary)
 
     def compressor(writer, level: int = consts.LEVEL_DEFAULT, meta=None,
-                   opts=None):
-        return Compressor(writer, container, level=level, meta=meta, opts=opts)
+                   opts=None, dictionary=None):
+        return Compressor(writer, container, level=level, meta=meta,
+                          opts=opts, dictionary=dictionary)
 
-    def decompressor(reader, verify: bool = True):
-        return Decompressor(reader, container, verify)
+    def decompressor(reader, verify: bool = True, dictionary=None):
+        return Decompressor(reader, container, verify, dictionary)
 
     huffman = SimpleNamespace(
         compress=lambda data, writer=None, meta=None: _compress_oneshot(

@@ -80,7 +80,8 @@ FLG_FNAME = 8
 FLG_FCOMMENT = 16
 
 
-def write_header(container: Container, meta: Optional[GzipMetadata] = None) -> bytes:
+def write_header(container: Container, meta: Optional[GzipMetadata] = None,
+                 dictionary: Optional[bytes] = None) -> bytes:
     if container is Container.GZIP:
         if meta is None:
             # fixed 10-byte header: magic, CM=deflate, no flags, mtime=0,
@@ -106,6 +107,13 @@ def write_header(container: Container, meta: Optional[GzipMetadata] = None) -> b
             out += meta.comment + b"\x00"
         return bytes(out)
     if container is Container.ZLIB:
+        if dictionary is not None:
+            # FDICT set: recompute FCHECK, append DICTID (RFC 1950 §2.2)
+            flg = 0x20 | (2 << 6)
+            flg |= (31 - ((0x78 << 8 | flg) % 31)) % 31
+            from . import checksums
+            return bytes([0x78, flg]) + struct.pack(
+                ">I", checksums.adler32(dictionary))
         # CM=8 CINFO=7 (32K window), FLEVEL=default, FCHECK -> 0x78 0x9c
         return bytes([0x78, 0x9C])
     return b""
@@ -119,7 +127,8 @@ def write_footer(container: Container, hasher: Hasher) -> bytes:
     return b""
 
 
-def parse_header(container: Container, data: bytes) -> tuple[int, Optional[GzipMetadata]]:
+def parse_header(container: Container, data: bytes,
+                 allow_dict: bool = False) -> tuple[int, Optional[GzipMetadata]]:
     """Parse and validate a container header.
 
     Returns (bytes_consumed, metadata).  Raises the container's exact error
@@ -172,8 +181,14 @@ def parse_header(container: Container, data: bytes) -> tuple[int, Optional[GzipM
     cmf, flg = data[0], data[1]
     cm = cmf & 0x0F
     cinfo = cmf >> 4
-    if cm != 8 or cinfo > 7 or ((cmf << 8) | flg) % 31 != 0 or (flg & 0x20):
+    fdict = bool(flg & 0x20)
+    if cm != 8 or cinfo > 7 or ((cmf << 8) | flg) % 31 != 0 or \
+            (fdict and not allow_dict):
         raise BadZlibHeader(f"bad zlib header bytes {data[:2].hex()}")
+    if fdict:
+        if len(data) < 6:
+            raise EndOfStream("zlib DICTID truncated")
+        return 6, None  # 2 header bytes + 4-byte DICTID (Adler32 of dict)
     return 2, None
 
 

@@ -253,12 +253,16 @@ def _decode_stored(bits: _BitCursor, out: bytearray) -> None:
     out += bits.read_bytes(ln)
 
 
-def inflate_raw(data: bytes, bit_pos: int = 0) -> tuple[bytes, int]:
+def inflate_raw(data: bytes, bit_pos: int = 0,
+                dictionary: bytes | None = None) -> tuple[bytes, int]:
     """Decode a raw deflate stream starting at bit_pos.
 
+    dictionary: optional preset history (v1 parity: back-references may
+    reach into it; it is not part of the output).
     Returns (decompressed bytes, bit position after the final block)."""
     bits = _BitCursor(data, bit_pos)
-    out = bytearray()
+    out = bytearray(dictionary or b"")
+    dict_len = len(out)
     while True:
         bfinal = bits.read(1)
         btype = bits.read(2)
@@ -274,7 +278,7 @@ def inflate_raw(data: bytes, bit_pos: int = 0) -> tuple[bytes, int]:
             from .errors import InvalidBlockType
             raise InvalidBlockType()
         if bfinal:
-            return bytes(out), bits.pos
+            return bytes(out[dict_len:]), bits.pos
 
 
 def decompress(data: bytes, container: Container = Container.RAW,
@@ -286,13 +290,17 @@ def decompress(data: bytes, container: Container = Container.RAW,
 
 
 def decompress_member(data: bytes, offset: int, container: Container,
-                      verify: bool = True) -> tuple[bytes, int]:
+                      verify: bool = True,
+                      dictionary: bytes | None = None) -> tuple[bytes, int]:
     """Decode one container member starting at byte offset.
 
-    Returns (output, byte offset after the member's footer)."""
-    hdr, _meta = parse_header(container, data[offset:])
+    dictionary: optional preset history (raw/zlib; zlib streams with the
+    FDICT flag require it).  Returns (output, byte offset after the
+    member's footer)."""
+    hdr, _meta = parse_header(container, data[offset:],
+                              allow_dict=dictionary is not None)
     payload_start = offset + hdr
-    out, bit_end = inflate_raw(data, payload_start * 8)
+    out, bit_end = inflate_raw(data, payload_start * 8, dictionary)
     end_byte = (bit_end + 7) // 8
     hasher = Hasher(container)
     if verify:

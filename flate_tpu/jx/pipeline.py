@@ -43,8 +43,15 @@ def phase1(windows: jnp.ndarray, ctx_lens: jnp.ndarray, *, ctx: int,
     mlen, mdist = mtc.find_matches_device(
         windows, ctx_lens, K=K, K3=K3, min_len=consts.MIN_MATCH_LEN,
         ctx=ctx)
-    starts = prs.parse_doubling(
-        mlen, mdist, start=ctx, lazy=lazy, max_lazy=max_lazy)
+    # the Pallas serial-walk kernel is ~12x faster than pointer doubling
+    # on TPU; on CPU backends the doubling path is used (the interpreted
+    # walk is equivalent — tests/test_jx.py pins that — but slow)
+    if jax.default_backend() == "cpu":
+        starts = prs.parse_doubling(
+            mlen, mdist, start=ctx, lazy=lazy, max_lazy=max_lazy)
+    else:
+        starts = prs.parse_walk(
+            mlen, mdist, start=ctx, lazy=lazy, max_lazy=max_lazy)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
     tok = enc.compact_tokens(windows[:, ctx:], mlen[:, ctx:],
                              mdist[:, ctx:], starts[:, ctx:],
