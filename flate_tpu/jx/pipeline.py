@@ -66,6 +66,31 @@ def phase2(tok: dict, ll_packed: jnp.ndarray, d_packed: jnp.ndarray):
     return enc.pack_tokens(tok, ll_packed, d_packed)
 
 
+@functools.partial(jax.jit, static_argnames=("ctx",))
+def build_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
+    """Assemble (B, ctx+S) context-primed windows ON DEVICE from raw
+    (B, S) shards: row b's context is row b-1's tail (batch roll), row 0
+    takes the host-provided ctx0 carry-over.  Saves a quarter of the
+    host->device traffic and all host-side window copies."""
+    B, S = shards.shape
+    tails = shards[:, S - ctx:]
+    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
+    return jnp.concatenate([prev, shards], axis=1)
+
+
+_SLICE_CACHE: dict = {}
+
+
+def fetch_words(words, tbits: np.ndarray) -> np.ndarray:
+    """Device->host transfer of only the used prefix of the pack buffer
+    (rounded up to a power of two to bound recompiles).  The worst-case
+    buffer is 48 bits/token; real streams use ~6x less."""
+    need = int(-(-int(tbits.max()) // 32)) if tbits.size else 1
+    n = max(1024, 1 << (need - 1).bit_length())
+    n = min(n, words.shape[1])
+    return np.asarray(words[:, :n])
+
+
 def _packed_table(codes: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
     t = np.zeros(n, dtype=np.uint32)
     t[:codes.size] = codes.astype(np.uint32) | (lens.astype(np.uint32) << 24)
@@ -192,24 +217,27 @@ def compress_device(data: bytes, level: int = consts.LEVEL_DEFAULT,
 
     for base in range(0, nfull, batch):
         nb = min(batch, nfull - base)
-        windows = np.zeros((nb, ctx + shard_len), dtype=np.uint8)
-        ctx_lens = np.zeros(nb, dtype=np.int32)
-        shard_views = []
-        for i in range(nb):
-            lo = (base + i) * shard_len
-            c = min(ctx, lo)
-            windows[i, ctx - c:ctx] = arr[lo - c:lo]
-            windows[i, ctx:] = arr[lo:lo + shard_len]
-            ctx_lens[i] = c
-            shard_views.append(arr[lo:lo + shard_len])
+        lo0 = base * shard_len
+        # pad the final batch to a fixed shape (avoids a second compile)
+        shards_np = np.zeros((batch, shard_len), dtype=np.uint8)
+        shards_np[:nb] = arr[lo0:lo0 + nb * shard_len].reshape(nb, shard_len)
+        c0 = min(ctx, lo0)
+        ctx0 = np.zeros(ctx, dtype=np.uint8)
+        ctx0[ctx - c0:] = arr[lo0 - c0:lo0]
+        ctx_lens = np.full(batch, ctx, dtype=np.int32)
+        ctx_lens[0] = c0
+        shard_views = [shards_np[i] for i in range(nb)]
 
-        tok, hll, hdd = phase1(jnp.asarray(windows), jnp.asarray(ctx_lens),
+        windows = build_windows(jnp.asarray(shards_np), jnp.asarray(ctx0),
+                                ctx=ctx)
+        tok, hll, hdd = phase1(windows, jnp.asarray(ctx_lens),
                                ctx=ctx, K=K, K3=min(8, K), lazy=lazy,
                                max_lazy=max_lazy)
-        plans = plan_shards(np.asarray(hll), np.asarray(hdd), shard_views)
+        plans = plan_shards(np.asarray(hll)[:nb], np.asarray(hdd)[:nb],
+                            shard_views)
 
-        llp = np.zeros((nb, consts.NUM_LITLEN), dtype=np.uint32)
-        dp = np.zeros((nb, consts.NUM_DIST), dtype=np.uint32)
+        llp = np.zeros((batch, consts.NUM_LITLEN), dtype=np.uint32)
+        dp = np.zeros((batch, consts.NUM_DIST), dtype=np.uint32)
         for i, p in enumerate(plans):
             if p.kind in ("dynamic", "fixed"):
                 llp[i] = _packed_table(tables.canonical_codes(p.ll_lens),
@@ -217,8 +245,8 @@ def compress_device(data: bytes, level: int = consts.LEVEL_DEFAULT,
                 dp[i] = _packed_table(tables.canonical_codes(p.d_lens),
                                       p.d_lens, consts.NUM_DIST)
         words, tbits = phase2(tok, jnp.asarray(llp), jnp.asarray(dp))
-        words = np.asarray(words)
         tbits = np.asarray(tbits)
+        words = fetch_words(words, tbits)
 
         for i, p in enumerate(plans):
             final = (base + i == nfull - 1) and (n % shard_len == 0)

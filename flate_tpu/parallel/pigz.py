@@ -89,24 +89,25 @@ def compress_mesh(data: bytes, mesh: Mesh,
     spec_in = NamedSharding(mesh, P(axis, None))
     spec_1d = NamedSharding(mesh, P(axis))
 
-    # process ndev shards per step so each device gets exactly one
+    # process ndev shards per step so each device gets exactly one; the
+    # batch-roll inside build_windows becomes the 32K-tail context
+    # exchange over ICI (a collective permute inserted by XLA)
     step = ndev
     for base in range(0, nfull, step):
         nb = min(step, nfull - base)
-        pad_b = step - nb  # pad the batch so the shard axis divides evenly
-        windows = np.zeros((step, ctx + shard_len), dtype=np.uint8)
-        ctx_lens = np.zeros(step, dtype=np.int32)
-        shard_views = []
-        for i in range(nb):
-            lo = (base + i) * shard_len
-            c = min(ctx, lo)
-            windows[i, ctx - c:ctx] = arr[lo - c:lo]
-            windows[i, ctx:] = arr[lo:lo + shard_len]
-            ctx_lens[i] = c
-            shard_views.append(arr[lo:lo + shard_len])
+        lo0 = base * shard_len
+        shards_np = np.zeros((step, shard_len), dtype=np.uint8)
+        shards_np[:nb] = arr[lo0:lo0 + nb * shard_len].reshape(nb, shard_len)
+        c0 = min(ctx, lo0)
+        ctx0 = np.zeros(ctx, dtype=np.uint8)
+        ctx0[ctx - c0:] = arr[lo0 - c0:lo0]
+        ctx_lens = np.full(step, ctx, dtype=np.int32)
+        ctx_lens[0] = c0
+        shard_views = [shards_np[i] for i in range(nb)]
 
-        wdev = jax.device_put(jnp.asarray(windows), spec_in)
+        sdev = jax.device_put(jnp.asarray(shards_np), spec_in)
         cdev = jax.device_put(jnp.asarray(ctx_lens), spec_1d)
+        wdev = pl.build_windows(sdev, jnp.asarray(ctx0), ctx=ctx)
         tok, hll, hdd = pl.phase1(wdev, cdev, ctx=ctx, K=K, K3=min(8, K),
                                   lazy=lazy, max_lazy=max_lazy)
         plans = pl.plan_shards(np.asarray(hll)[:nb], np.asarray(hdd)[:nb],
@@ -123,8 +124,8 @@ def compress_mesh(data: bytes, mesh: Mesh,
         words, tbits = pl.phase2(tok,
                                  jax.device_put(jnp.asarray(llp), spec_in),
                                  jax.device_put(jnp.asarray(dp), spec_in))
-        words = np.asarray(words)
         tbits = np.asarray(tbits)
+        words = pl.fetch_words(words, tbits)
 
         for i, p in enumerate(plans):
             is_last = (base + i == nfull - 1) and (n % shard_len == 0)

@@ -1,24 +1,21 @@
 """Test configuration.
 
 Sharding / device tests run on a virtual 8-device CPU mesh so multi-chip
-paths are testable without a pod (SURVEY §4 translation note).  Set up the
-XLA flags BEFORE jax initializes.
+paths are testable without a pod (SURVEY §4 translation note).
+
+This environment PRE-IMPORTS jax at interpreter startup (the axon TPU
+tunnel plugin), so environment variables like JAX_PLATFORMS / XLA_FLAGS are
+snapshotted before any test code runs.  The only reliable override is the
+programmatic config API.
 """
 
-import os
 import pathlib
 
-# force-override: the environment pre-sets JAX_PLATFORMS=axon (the TPU
-# tunnel) and the plugin ignores JAX_PLATFORMS=cpu, but honours
-# JAX_PLATFORM_NAME
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+import pytest
 
-import pytest  # noqa: E402
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 DATA = pathlib.Path(__file__).parent / "data"
 
@@ -35,5 +32,4 @@ def block_writer_dir() -> pathlib.Path:
 
 @pytest.fixture(scope="session")
 def rfc_text() -> bytes:
-    return (pathlib.Path("/root/reference/src/flate/testdata/rfc1951.txt")
-            .read_bytes())
+    return (DATA / "rfc1951.txt").read_bytes()
