@@ -188,26 +188,26 @@ def _small_dist_runs(window: jnp.ndarray, maxlen: jnp.ndarray,
 
 
 def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
-                   maxlen: jnp.ndarray) -> jnp.ndarray:
+                   maxlen: jnp.ndarray, cap: int = CAP) -> jnp.ndarray:
     """Compose capped same-distance matches along stride-32 chains.
 
     If mlen[i] == CAP (capped) and mdist[i + CAP] == mdist[i], the true
     length is CAP + true_len(i + CAP): a reverse affine associative scan
     per stride-32 chain resolves all compositions at once."""
     B, W = mlen.shape
-    pad = (-W) % CAP
+    pad = (-W) % cap
     if pad:
         mlen = jnp.concatenate(
             [mlen, jnp.zeros((B, pad), mlen.dtype)], axis=1)
         mdist = jnp.concatenate(
             [mdist, jnp.zeros((B, pad), mdist.dtype)], axis=1)
-    rows = mlen.shape[1] // CAP
-    l2 = mlen.reshape(B, rows, CAP)
-    d2 = mdist.reshape(B, rows, CAP)
+    rows = mlen.shape[1] // cap
+    l2 = mlen.reshape(B, rows, cap)
+    d2 = mdist.reshape(B, rows, cap)
     nxt_d = jnp.concatenate(
-        [d2[:, 1:], jnp.zeros((B, 1, CAP), d2.dtype)], axis=1)
-    chain = (l2 == CAP) & (nxt_d == d2) & (d2 > 0)
-    a = jnp.where(chain, CAP, l2).astype(jnp.int32)
+        [d2[:, 1:], jnp.zeros((B, 1, cap), d2.dtype)], axis=1)
+    chain = (l2 == cap) & (nxt_d == d2) & (d2 > 0)
+    a = jnp.where(chain, cap, l2).astype(jnp.int32)
     b = chain.astype(jnp.int32)
 
     def op(x, y):
@@ -223,10 +223,11 @@ def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
     return jnp.minimum(out, maxlen)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "K3", "min_len", "ctx"))
+@functools.partial(jax.jit, static_argnames=("K", "K3", "min_len", "ctx",
+                                             "nwords"))
 def find_matches_device(window: jnp.ndarray, ctx_len: jnp.ndarray,
                         K: int = 64, K3: int = 8, min_len: int = 3,
-                        ctx: int = CTX
+                        ctx: int = CTX, nwords: int = 8
                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (len, dist) per window position on device.
 
@@ -241,9 +242,9 @@ def find_matches_device(window: jnp.ndarray, ctx_len: jnp.ndarray,
     maxlen_of_pos = jnp.broadcast_to(maxlen_of_pos, (B, W))
     min_src = (ctx - ctx_len).astype(jnp.int32)
 
-    # main table: 4-byte hash, 32 carried bytes
+    # main table: 4-byte hash, 4*nwords carried bytes
     mlen, mdist, mscore = _candidate_best(
-        _hashes(window, 4), _pack_words_u32(window, 8), K,
+        _hashes(window, 4), _pack_words_u32(window, nwords), K,
         min_src, maxlen_of_pos, min_len)
 
     # secondary table: 3-byte hash, 8 carried bytes (len 3..8 discovery)
@@ -263,8 +264,8 @@ def find_matches_device(window: jnp.ndarray, ctx_len: jnp.ndarray,
     mlen = jnp.where(upd, rlen, mlen)
     mdist = jnp.where(upd, rdist, mdist)
 
-    # general-distance extension past the 32-byte carry cap
-    mlen = _extend_chains(mlen, mdist, maxlen_of_pos)
+    # general-distance extension past the carry cap
+    mlen = _extend_chains(mlen, mdist, maxlen_of_pos, cap=4 * nwords)
 
     # too-far heuristic for minimum-length matches
     drop = (mlen == consts.MIN_MATCH_LEN) & (mdist > 4096)

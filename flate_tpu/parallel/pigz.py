@@ -108,10 +108,11 @@ def compress_mesh(data: bytes, mesh: Mesh,
         sdev = jax.device_put(jnp.asarray(shards_np), spec_in)
         cdev = jax.device_put(jnp.asarray(ctx_lens), spec_1d)
         wdev = pl.build_windows(sdev, jnp.asarray(ctx0), ctx=ctx)
-        tok, hll, hdd = pl.phase1(wdev, cdev, ctx=ctx, K=K, K3=min(8, K),
-                                  lazy=lazy, max_lazy=max_lazy)
-        plans = pl.plan_shards(np.asarray(hll)[:nb], np.asarray(hdd)[:nb],
-                               shard_views)
+        tok, stats = pl.phase1(wdev, cdev, ctx=ctx, K=K, K3=min(8, K),
+                               lazy=lazy, max_lazy=max_lazy,
+                               nwords=16 if level >= 6 else 8)
+        hll, hdd, _nt = pl.unpack_stats(np.asarray(stats))
+        plans = pl.plan_shards(hll[:nb], hdd[:nb], shard_views)
 
         llp = np.zeros((step, consts.NUM_LITLEN), dtype=np.uint32)
         dp = np.zeros((step, consts.NUM_DIST), dtype=np.uint32)
@@ -121,9 +122,9 @@ def compress_mesh(data: bytes, mesh: Mesh,
                                           p.ll_lens, consts.NUM_LITLEN)
                 dp[i] = pl._packed_table(tables.canonical_codes(p.d_lens),
                                          p.d_lens, consts.NUM_DIST)
-        words, tbits = pl.phase2(tok,
-                                 jax.device_put(jnp.asarray(llp), spec_in),
-                                 jax.device_put(jnp.asarray(dp), spec_in))
+        words, tbits = pl.phase2(
+            tok, jax.device_put(jnp.asarray(llp), spec_in),
+            jax.device_put(jnp.asarray(dp), spec_in))
         tbits = np.asarray(tbits)
         words = pl.fetch_words(words, tbits)
 

@@ -117,23 +117,36 @@ def reverse_bits(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
 def canonical_codes(lens: np.ndarray) -> np.ndarray:
     """Assign canonical Huffman codes from code lengths (RFC 1951 §3.2.2),
     already bit-reversed for LSB-first emission.  lens: int array of code
-    lengths (0 = unused).  Returns uint32 codes."""
-    lens = np.asarray(lens, dtype=np.int32)
+    lengths (0 = unused).  Returns uint32 codes.  Fully vectorized: the
+    within-length rank of each symbol is its position among same-length
+    symbols in symbol order (a stable argsort by length)."""
+    lens = np.asarray(lens, dtype=np.int64)
     max_bits = int(lens.max()) if lens.size else 0
-    bl_count = np.bincount(lens, minlength=max_bits + 1)
+    if max_bits == 0:
+        return np.zeros(lens.shape, dtype=np.uint32)
+    bl_count = np.bincount(lens, minlength=max_bits + 1).astype(np.uint64)
     bl_count[0] = 0
-    next_code = np.zeros(max_bits + 2, dtype=np.uint64)
-    code = 0
+    # first canonical code per length
+    first = np.zeros(max_bits + 1, dtype=np.uint64)
+    code = np.uint64(0)
     for bits in range(1, max_bits + 1):
-        code = (code + int(bl_count[bits - 1])) << 1
-        next_code[bits] = code
-    codes = np.zeros(lens.shape, dtype=np.uint32)
-    for sym in range(lens.size):
-        l = int(lens[sym])
-        if l > 0:
-            codes[sym] = next_code[l]
-            next_code[l] += 1
-    return reverse_bits(codes, lens)
+        code = (code + bl_count[bits - 1]) << np.uint64(1)
+        first[bits] = code
+    # rank of each symbol within its length class (symbol order): stable
+    # argsort puts zero-length symbols first, then classes ascending
+    order = np.argsort(lens, kind="stable")
+    ranked = np.empty(lens.size, dtype=np.int64)
+    ranked[order] = np.arange(lens.size)
+    zeros = int((lens == 0).sum())
+    # cum_before[l] = number of symbols with length in [1, l)
+    cum_before = np.zeros(max_bits + 2, dtype=np.int64)
+    cum_before[2:] = np.cumsum(bl_count[1:].astype(np.int64))
+    rank_in_class = ranked - zeros - cum_before[np.maximum(lens, 1)]
+    codes = np.where(
+        lens > 0,
+        first[np.maximum(lens, 1)] + rank_in_class.astype(np.uint64),
+        0).astype(np.uint32)
+    return reverse_bits(codes, lens.astype(np.int32))
 
 
 FIXED_LITLEN_CODES = canonical_codes(FIXED_LITLEN_LENS)
