@@ -257,9 +257,26 @@ def inflate_raw(data: bytes, bit_pos: int = 0,
                 dictionary: bytes | None = None) -> tuple[bytes, int]:
     """Decode a raw deflate stream starting at bit_pos.
 
+    Dispatches to the native decoder (flate_tpu.native.fastinflate — same
+    semantics, ~300x faster) when available; the pure-Python spec decoder
+    below is the fallback and the differential test target
+    (FLATE_TPU_PURE_PYTHON=1 forces it).
+
     dictionary: optional preset history (v1 parity: back-references may
     reach into it; it is not part of the output).
     Returns (decompressed bytes, bit position after the final block)."""
+    import os
+    if os.environ.get("FLATE_TPU_PURE_PYTHON", "") in ("", "0"):
+        from . import native
+        res = native.inflate_raw(data, bit_pos, dictionary)
+        if res is not None:
+            return res
+    return inflate_raw_py(data, bit_pos, dictionary)
+
+
+def inflate_raw_py(data: bytes, bit_pos: int = 0,
+                   dictionary: bytes | None = None) -> tuple[bytes, int]:
+    """Pure-Python specification decoder (see inflate_raw)."""
     bits = _BitCursor(data, bit_pos)
     out = bytearray(dictionary or b"")
     dict_len = len(out)

@@ -1,9 +1,11 @@
 """Native (C) host components, loaded via ctypes with transparent build.
 
-The TPU does the heavy compute; these cover the host planning path where
+The TPU does the heavy compute; these cover the host paths where
 Python-loop costs would otherwise bottleneck multi-GB/s pipelines:
 
-- fasthuff: Huffman code-length construction (two-queue + package-merge)
+- fasthuff:    Huffman code-length construction (two-queue + package-merge)
+- fastinflate: DEFLATE decoder, semantics bit-exact with the Python spec
+               decoder incl. the strict error taxonomy
 
 Build happens on first import (cc -O2 -shared) and is cached next to the
 source; every native function has a pure-Python/numpy fallback so the
@@ -20,13 +22,12 @@ import subprocess
 import numpy as np
 
 _DIR = pathlib.Path(__file__).parent
-_LIB = None
-_TRIED = False
+_LIBS: dict = {}
 
 
-def _build() -> pathlib.Path | None:
-    src = _DIR / "fasthuff.c"
-    so = _DIR / "fasthuff.so"
+def _build(name: str) -> pathlib.Path | None:
+    src = _DIR / f"{name}.c"
+    so = _DIR / f"{name}.so"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     for cc in ("cc", "gcc", "clang"):
@@ -40,29 +41,35 @@ def _build() -> pathlib.Path | None:
     return None
 
 
-def _load():
-    global _LIB, _TRIED
-    if _TRIED:
-        return _LIB
-    _TRIED = True
-    so = _build()
-    if so is None:
-        return None
-    try:
-        lib = ctypes.CDLL(str(so))
-        lib.huff_lengths.restype = ctypes.c_int
-        lib.huff_lengths.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte)]
-        _LIB = lib
-    except OSError:
-        _LIB = None
-    return _LIB
+def _load(name: str):
+    if name in _LIBS:
+        return _LIBS[name]
+    _LIBS[name] = None
+    so = _build(name)
+    if so is not None:
+        try:
+            lib = ctypes.CDLL(str(so))
+            if name == "fasthuff":
+                lib.huff_lengths.restype = ctypes.c_int
+                lib.huff_lengths.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+            elif name == "fastinflate":
+                lib.inflate_raw.restype = ctypes.c_int
+                lib.inflate_raw.argtypes = [
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.POINTER(ctypes.c_size_t)]
+            _LIBS[name] = lib
+        except OSError:
+            pass
+    return _LIBS[name]
 
 
 def huff_lengths(freq: np.ndarray, max_bits: int) -> np.ndarray | None:
     """Native Huffman code lengths, or None if the library is unavailable."""
-    lib = _load()
+    lib = _load("fasthuff")
     if lib is None:
         return None
     freq = np.ascontiguousarray(freq, dtype=np.int64)
@@ -74,3 +81,57 @@ def huff_lengths(freq: np.ndarray, max_bits: int) -> np.ndarray | None:
     if rc != 0:
         return None
     return out.astype(np.int32)
+
+
+# error-code -> exception class mapping for fastinflate
+_INFLATE_ERRORS = {}
+
+
+def _inflate_error(rc: int):
+    global _INFLATE_ERRORS
+    if not _INFLATE_ERRORS:
+        from .. import errors as E
+        _INFLATE_ERRORS = {
+            1: E.EndOfStream, 2: E.InvalidCode, 3: E.InvalidMatch,
+            4: E.InvalidBlockType, 5: E.WrongStoredBlockNlen,
+            6: E.InvalidDynamicBlockHeader, 7: E.OversubscribedHuffmanTree,
+            8: E.IncompleteHuffmanTree, 9: E.MissingEndOfBlockCode,
+        }
+    return _INFLATE_ERRORS[rc]
+
+
+def inflate_available() -> bool:
+    return _load("fastinflate") is not None
+
+
+def inflate_raw(data: bytes, bit_pos: int = 0,
+                dictionary: bytes | None = None
+                ) -> tuple[bytes, int] | None:
+    """Native raw-deflate decode; returns (output, end_bit) or None if the
+    library is unavailable.  Raises the exact flate_tpu.errors class on
+    malformed input (same taxonomy as the Python spec decoder)."""
+    lib = _load("fastinflate")
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)  # valid pointer; len passed as 0
+    dict_len = len(dictionary) if dictionary else 0
+    cap = max(1 << 16, dict_len + 4 * len(data) + (1 << 16))
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        if dict_len:
+            out[:dict_len] = np.frombuffer(dictionary, dtype=np.uint8)
+        out_len = ctypes.c_size_t(dict_len)
+        end_bit = ctypes.c_size_t(0)
+        rc = lib.inflate_raw(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            len(data), bit_pos,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            cap, ctypes.byref(out_len), ctypes.byref(end_bit))
+        if rc == 0:
+            return out[dict_len:out_len.value].tobytes(), int(end_bit.value)
+        if rc == -1:
+            cap *= 2
+            continue
+        raise _inflate_error(rc)()

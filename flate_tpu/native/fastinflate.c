@@ -1,0 +1,361 @@
+/* fastinflate — native DEFLATE decoder for flate_tpu's host path.
+ *
+ * Semantics are bit-exact with the Python specification decoder
+ * (flate_tpu/inflate.py), which itself mirrors the reference's strict
+ * error taxonomy (/root/reference/src/flate/inflate.zig,
+ * huffman_decoder.zig): the same fuzz corpus must produce the same error
+ * class or the same bytes through either decoder — tests pin this.
+ *
+ * Error codes (mapped back to flate_tpu.errors by the ctypes wrapper):
+ *   0 ok   1 EndOfStream       2 InvalidCode      3 InvalidMatch
+ *   4 InvalidBlockType         5 WrongStoredBlockNlen
+ *   6 InvalidDynamicBlockHeader 7 OversubscribedHuffmanTree
+ *   8 IncompleteHuffmanTree    9 MissingEndOfBlockCode
+ *  -1 output buffer too small (caller grows and retries)
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#define ERR_EOS 1
+#define ERR_CODE 2
+#define ERR_MATCH 3
+#define ERR_BTYPE 4
+#define ERR_NLEN 5
+#define ERR_DYN 6
+#define ERR_OVER 7
+#define ERR_INCOMPLETE 8
+#define ERR_NOEOB 9
+#define ERR_OUT (-1)
+
+typedef struct {
+    const uint8_t *in;
+    size_t in_len;
+    uint64_t buf;       /* LSB-first bit buffer */
+    int nbits;          /* valid bits in buf */
+    size_t pos;         /* next input byte */
+} BitReader;
+
+static void br_init(BitReader *br, const uint8_t *in, size_t in_len,
+                    size_t start_bit) {
+    br->in = in;
+    br->in_len = in_len;
+    br->pos = start_bit >> 3;
+    br->buf = 0;
+    br->nbits = 0;
+    int skip = (int)(start_bit & 7);
+    if (skip && br->pos < in_len) {
+        br->buf = (uint64_t)in[br->pos++] >> skip;
+        br->nbits = 8 - skip;
+    }
+}
+
+static inline void br_fill(BitReader *br) {
+    while (br->nbits <= 56 && br->pos < br->in_len) {
+        br->buf |= (uint64_t)br->in[br->pos++] << br->nbits;
+        br->nbits += 8;
+    }
+}
+
+/* peek n (<=32) bits zero-padded past the end */
+static inline uint32_t br_peek(BitReader *br, int n) {
+    if (br->nbits < n) br_fill(br);
+    return (uint32_t)(br->buf & ((1u << n) - 1));
+}
+
+/* consume n bits; returns 0 ok, ERR_EOS if the stream is exhausted */
+static inline int br_consume(BitReader *br, int n) {
+    if (br->nbits < n) br_fill(br);
+    if (br->nbits < n) return ERR_EOS;
+    br->buf >>= n;
+    br->nbits -= n;
+    return 0;
+}
+
+static inline int br_read(BitReader *br, int n, uint32_t *v) {
+    *v = br_peek(br, n);
+    return br_consume(br, n);
+}
+
+/* current absolute bit position */
+static inline size_t br_bitpos(BitReader *br) {
+    return br->pos * 8 - (size_t)br->nbits;
+}
+
+static void br_align(BitReader *br) {
+    int drop = br->nbits & 7;
+    br->buf >>= drop;
+    br->nbits -= drop;
+}
+
+/* ------------------------------------------------------------------ */
+/* decode tables: flat 2^bits lookup of (symbol<<4 | len), 0 = invalid */
+
+#define TBL_INVALID 0xFFFFu
+
+static uint32_t rev_bits(uint32_t code, int len) {
+    uint32_t r = 0;
+    for (int i = 0; i < len; i++) {
+        r = (r << 1) | (code & 1);
+        code >>= 1;
+    }
+    return r;
+}
+
+/* returns 0 ok or error; is_litlen enables EOB check; max_bits 15 or 7 */
+static int build_table(const uint8_t *lens, int n, int max_bits,
+                       int is_litlen, uint16_t *sym_t, uint8_t *bit_t) {
+    int count[16] = {0};
+    int maxl = 0;
+    if (is_litlen && lens[256] == 0) return ERR_NOEOB;
+    for (int i = 0; i < n; i++) {
+        if (lens[i]) {
+            count[lens[i]]++;
+            if (lens[i] > maxl) maxl = lens[i];
+        }
+    }
+    size_t tsize = (size_t)1 << max_bits;
+    if (maxl == 0) {  /* empty tree: everything invalid */
+        for (size_t i = 0; i < tsize; i++) sym_t[i] = TBL_INVALID;
+        return 0;
+    }
+    long left = 1;
+    for (int l = 1; l <= max_bits; l++) {
+        left <<= 1;
+        if (count[l] > left) return ERR_OVER;
+        left -= count[l];
+    }
+    if (left > 0) {
+        /* incomplete ok only for 15-bit decoders in the single
+         * length-1-code form (huffman_decoder.zig:126-153) */
+        if (!(max_bits > 7 && maxl == count[1]))
+            return ERR_INCOMPLETE;
+    }
+    for (size_t i = 0; i < tsize; i++) sym_t[i] = TBL_INVALID;
+    /* canonical first codes */
+    uint32_t next_code[16] = {0};
+    uint32_t code = 0;
+    for (int l = 1; l <= maxl; l++) {
+        code = (code + (uint32_t)count[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (!l) continue;
+        uint32_t r = rev_bits(next_code[l]++, l);
+        size_t step = (size_t)1 << l;
+        for (size_t i = r; i < tsize; i += step) {
+            sym_t[i] = (uint16_t)s;
+            bit_t[i] = (uint8_t)l;
+        }
+    }
+    return 0;
+}
+
+/* RFC 1951 base/extra tables */
+static const uint16_t LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+    35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+    3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint16_t DBASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+    257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DEXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+    7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+static const uint8_t CODEGEN_ORDER[19] =
+    {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+typedef struct {
+    uint16_t ll_sym[1 << 15];
+    uint8_t ll_bit[1 << 15];
+    uint16_t d_sym[1 << 15];
+    uint8_t d_bit[1 << 15];
+    uint16_t cg_sym[1 << 7];
+    uint8_t cg_bit[1 << 7];
+} Tables;
+
+static Tables g_tables;  /* single-threaded host use */
+
+static int read_code_lens(BitReader *br, Tables *t, int hcount,
+                          uint8_t *lens, int arr_len) {
+    int pos = 0;
+    while (pos < hcount) {
+        uint32_t peek = br_peek(br, 7);
+        uint16_t s = t->cg_sym[peek];
+        if (s == TBL_INVALID) return ERR_CODE;
+        int rc = br_consume(br, t->cg_bit[peek]);
+        if (rc) return rc;
+        if (s < 16) {
+            if (pos >= arr_len) return ERR_DYN;
+            lens[pos++] = (uint8_t)s;
+        } else if (s == 16) {
+            uint32_t v;
+            int r2 = br_read(br, 2, &v);
+            if (r2) return r2;
+            int rep = (int)v + 3;
+            if (pos == 0 || pos + rep > arr_len) return ERR_DYN;
+            uint8_t prev = lens[pos - 1];
+            for (int i = 0; i < rep; i++) lens[pos++] = prev;
+        } else if (s == 17) {
+            uint32_t v;
+            int r2 = br_read(br, 3, &v);
+            if (r2) return r2;
+            pos += (int)v + 3;
+        } else {
+            uint32_t v;
+            int r2 = br_read(br, 7, &v);
+            if (r2) return r2;
+            pos += (int)v + 11;
+        }
+    }
+    if (pos > hcount) return ERR_DYN;
+    return 0;
+}
+
+static int decode_dynamic_header(BitReader *br, Tables *t) {
+    uint32_t hlit, hdist, hclen;
+    int rc;
+    if ((rc = br_read(br, 5, &hlit))) return rc;
+    if ((rc = br_read(br, 5, &hdist))) return rc;
+    if ((rc = br_read(br, 4, &hclen))) return rc;
+    hlit += 257;
+    hdist += 1;
+    hclen += 4;
+    if (hlit > 286 || hdist > 30) return ERR_DYN;
+    uint8_t cl_lens[19] = {0};
+    for (uint32_t i = 0; i < hclen; i++) {
+        uint32_t v;
+        if ((rc = br_read(br, 3, &v))) return rc;
+        cl_lens[CODEGEN_ORDER[i]] = (uint8_t)v;
+    }
+    if ((rc = build_table(cl_lens, 19, 7, 0, t->cg_sym, t->cg_bit)))
+        return rc;
+    uint8_t ll_lens[286] = {0};
+    uint8_t d_lens[30] = {0};
+    /* lens arrays are zeroed; read exactly hlit/hdist entries but cap the
+     * writable range at the declared counts (inflate.zig:146-183) */
+    if ((rc = read_code_lens(br, t, (int)hlit, ll_lens, 286))) return rc;
+    if ((rc = read_code_lens(br, t, (int)hdist, d_lens, 30))) return rc;
+    if ((rc = build_table(ll_lens, 286, 15, 1, t->ll_sym, t->ll_bit)))
+        return rc;
+    if ((rc = build_table(d_lens, 30, 15, 0, t->d_sym, t->d_bit)))
+        return rc;
+    return 0;
+}
+
+static int build_fixed(Tables *t) {
+    uint8_t ll[288];
+    uint8_t dd[32];
+    int i = 0;
+    for (; i < 144; i++) ll[i] = 8;
+    for (; i < 256; i++) ll[i] = 9;
+    for (; i < 280; i++) ll[i] = 7;
+    for (; i < 288; i++) ll[i] = 8;
+    for (i = 0; i < 32; i++) dd[i] = 5;
+    int rc = build_table(ll, 288, 15, 0, t->ll_sym, t->ll_bit);
+    if (rc) return rc;
+    /* all 32 5-bit distance codes so the table is complete; 30/31 decode
+     * and are rejected as InvalidCode like the reference */
+    return build_table(dd, 32, 15, 0, t->d_sym, t->d_bit);
+}
+
+/* decode one coded block; returns 0 at EOB or error */
+static int decode_block(BitReader *br, Tables *t, uint8_t *out,
+                        size_t out_cap, size_t *out_len) {
+    size_t w = *out_len;
+    for (;;) {
+        uint32_t peek = br_peek(br, 15);
+        uint16_t s = t->ll_sym[peek];
+        if (s == TBL_INVALID) return ERR_CODE;
+        int rc = br_consume(br, t->ll_bit[peek]);
+        if (rc) return rc;
+        if (s < 256) {
+            if (w >= out_cap) { *out_len = w; return ERR_OUT; }
+            out[w++] = (uint8_t)s;
+        } else if (s == 256) {
+            *out_len = w;
+            return 0;
+        } else {
+            int li = s - 257;
+            if (li > 28) return ERR_CODE;
+            uint32_t extra;
+            if ((rc = br_read(br, LEXTRA[li], &extra))) return rc;
+            uint32_t length = LBASE[li] + extra;
+            peek = br_peek(br, 15);
+            uint16_t ds = t->d_sym[peek];
+            if (ds == TBL_INVALID) return ERR_CODE;
+            if ((rc = br_consume(br, t->d_bit[peek]))) return rc;
+            if (ds > 29) return ERR_CODE;
+            if ((rc = br_read(br, DEXTRA[ds], &extra))) return rc;
+            uint32_t dist = DBASE[ds] + extra;
+            if (dist > w) { *out_len = w; return ERR_MATCH; }
+            if (w + length > out_cap) { *out_len = w; return ERR_OUT; }
+            const uint8_t *src = out + w - dist;
+            if (dist >= length) {
+                memcpy(out + w, src, length);
+                w += length;
+            } else {
+                for (uint32_t k = 0; k < length; k++) out[w + k] = src[k];
+                w += length;
+            }
+        }
+    }
+}
+
+/* Decode a raw deflate stream.
+ * out must be pre-filled with dict_len dictionary bytes; decoded data is
+ * appended after them.  *out_len is in/out: in = dict_len, out = total
+ * bytes in `out` (incl. dictionary).  *end_bit receives the bit position
+ * after the final block. */
+int inflate_raw(const uint8_t *in, size_t in_len, size_t start_bit,
+                uint8_t *out, size_t out_cap, size_t *out_len,
+                size_t *end_bit) {
+    BitReader br;
+    br_init(&br, in, in_len, start_bit);
+    Tables *t = &g_tables;
+    for (;;) {
+        uint32_t bfinal, btype;
+        int rc;
+        if ((rc = br_read(&br, 1, &bfinal))) return rc;
+        if ((rc = br_read(&br, 2, &btype))) return rc;
+        if (btype == 0) {
+            br_align(&br);
+            uint32_t len, nlen;
+            if ((rc = br_read(&br, 16, &len))) return rc;
+            if ((rc = br_read(&br, 16, &nlen))) return rc;
+            if (len != (~nlen & 0xFFFF)) return ERR_NLEN;
+            if (*out_len + len > out_cap) return ERR_OUT;
+            /* drain whole bytes buffered in the accumulator, then memcpy
+             * straight from the input */
+            uint32_t k = 0;
+            while (k < len && br.nbits >= 8) {
+                out[(*out_len)++] = (uint8_t)(br.buf & 0xFF);
+                br.buf >>= 8;
+                br.nbits -= 8;
+                k++;
+            }
+            uint32_t rest = len - k;
+            if (rest) {
+                if (br.pos + rest > br.in_len) return ERR_EOS;
+                memcpy(out + *out_len, br.in + br.pos, rest);
+                *out_len += rest;
+                br.pos += rest;
+            }
+        } else if (btype == 1) {
+            if ((rc = build_fixed(t))) return rc;
+            if ((rc = decode_block(&br, t, out, out_cap, out_len)))
+                return rc;
+        } else if (btype == 2) {
+            if ((rc = decode_dynamic_header(&br, t))) return rc;
+            if ((rc = decode_block(&br, t, out, out_cap, out_len)))
+                return rc;
+        } else {
+            return ERR_BTYPE;
+        }
+        if (bfinal) {
+            *end_bit = br_bitpos(&br);
+            return 0;
+        }
+    }
+}
