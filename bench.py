@@ -60,6 +60,15 @@ def main() -> None:
 
     ok = pygz.decompress(blob) == data
     ratio = len(blob) / len(data)
+
+    # decode throughput (native host path; TPU inflate lands round 2)
+    import flate_tpu as ft
+    ft.gzip.decompress(blob)  # warm
+    t0 = time.time()
+    dec = ft.gzip.decompress(blob)
+    dec_dt = time.time() - t0
+    ok = ok and dec == data
+
     print(json.dumps({
         "metric": "gzip_level6_encode_throughput",
         "value": round(gbps, 4),
@@ -71,6 +80,7 @@ def main() -> None:
             "ratio": round(ratio, 4),
             "roundtrip_ok": bool(ok),
             "encode_seconds": round(dt, 3),
+            "decode_gbps_host": round(len(data) / dec_dt / 1e9, 4),
             "compile_seconds": round(compile_s, 1),
             "level": LEVEL,
         },
