@@ -4,7 +4,7 @@ Orchestration (host code is only decision + splicing; all heavy work is two
 jitted device phases):
 
   phase1 (device): match search -> lazy parse -> token compaction ->
-                   litlen/dist histograms                   [per shard, vmap]
+                   litlen/dist histograms          [batch-native, no vmap]
   host:            block-type decision (stored/fixed/dynamic/literal-only)
                    + canonical Huffman code construction from histograms
   phase2 (device): bit-pack token bodies with the chosen code tables
@@ -22,7 +22,6 @@ import functools
 import os
 import time
 from collections import defaultdict
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,9 +108,6 @@ def build_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
     tails = shards[:, S - ctx:]
     prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
     return jnp.concatenate([prev, shards], axis=1)
-
-
-_SLICE_CACHE: dict = {}
 
 
 def fetch_words(words, tbits: np.ndarray) -> np.ndarray:

@@ -11,4 +11,4 @@ across a jax.sharding.Mesh, with
       operators (flate_tpu.checksums) instead of a serial rolling hash.
 """
 
-from .pigz import compress_mesh, make_mesh, combined_crc32  # noqa: F401
+from .pigz import combined_crc32, compress_mesh, make_mesh  # noqa: F401

@@ -7,11 +7,10 @@ container checksum, combined associatively on the host (or with a tiny
 all_gather when staying on device).
 
 Context priming: each shard is primed with the previous shard's last 32 KiB
-as read-only history.  The priming bytes are part of the shard's input
-window (pure data placement — the neighbour shard's bytes are replicated
-into this shard's window on the host during batching), so no halo exchange
-collective is required; on a pod slice the window construction can instead
-ride ICI with a ppermute of the 32 KiB tails — see `permute_context`.
+as read-only history.  jx.pipeline.build_windows assembles the windows on
+device with a batch roll of the shard tails; under batch-axis sharding XLA
+lowers that roll to a collective permute over ICI, so the context exchange
+rides the interconnect with no host round-trip.
 """
 
 from __future__ import annotations
@@ -41,16 +40,6 @@ def combined_crc32(shard_bytes: list[bytes]) -> int:
     for s in shard_bytes:
         crc = crc32_combine(crc, crc32(s), len(s))
     return crc & 0xFFFFFFFF
-
-
-def permute_context(shards: jnp.ndarray) -> jnp.ndarray:
-    """Device-side context exchange: each shard receives the previous
-    shard's 32 KiB tail.  shards: (B, S) uint8 sharded on the batch axis;
-    under jit+sharding the row shift lowers to a ppermute over ICI.
-    Returns (B, CTX) context rows (row 0 zeros)."""
-    tails = shards[:, -consts.MAX_DISTANCE:]
-    rolled = jnp.roll(tails, 1, axis=0)
-    return rolled.at[0].set(0)
 
 
 def compress_mesh(data: bytes, mesh: Mesh,
