@@ -243,7 +243,43 @@ def tokenize_shard(data: np.ndarray, context: np.ndarray | None,
         decided = mlen >= consts.MIN_MATCH_LEN
     length = np.where(decided[idx], mlen[idx], 0).astype(np.int32)
     dist = np.where(decided[idx], mdist[idx], 0).astype(np.int32)
-    return Tokens(lit=data[idx], length=length, dist=dist)
+    toks = Tokens(lit=data[idx], length=length, dist=dist)
+    if level >= 7:
+        toks = _squeeze(data, mlen, mdist, toks)
+    return toks
+
+
+def _squeeze(data: np.ndarray, mlen: np.ndarray, mdist: np.ndarray,
+             toks: Tokens, iterations: int = 2) -> Tokens:
+    """Cost-model-optimal re-parse (zopfli-style squeeze) for the best
+    level: iterate (histogram -> code costs -> C DP parse).  Strictly
+    better than greedy+lazy under the entropy model, which is how level 9
+    goes below zlib/reference sizes.  No-op without the native library."""
+    from . import native, tables
+    from .block import token_histograms
+    from .huffman import huffman_code_lengths
+
+    for _ in range(iterations):
+        freq_ll, freq_d = token_histograms(toks)
+        ll_lens = huffman_code_lengths(freq_ll, consts.MAX_CODE_BITS)
+        d_lens = huffman_code_lengths(freq_d, consts.MAX_CODE_BITS)
+        # unused symbols get a mild fallback cost so the DP may still
+        # introduce them when clearly profitable
+        lit_bits = np.where(ll_lens[:256] > 0, ll_lens[:256], 13)
+        lenc = np.where(ll_lens[257:286] > 0, ll_lens[257:286], 13)
+        lenc_bits = lenc + tables.LENGTH_EXTRA_BITS
+        db = np.where(d_lens > 0, d_lens, 13)
+        dist_bits = db + tables.DIST_EXTRA_BITS
+        res = native.optimal_parse(mlen, mdist, data, lit_bits,
+                                   lenc_bits, dist_bits)
+        if res is None:
+            return toks
+        take, sel = res
+        idx = np.flatnonzero(take)
+        length = sel[idx].astype(np.int32)
+        dist = np.where(length > 0, mdist[idx], 0).astype(np.int32)
+        toks = Tokens(lit=data[idx], length=length, dist=dist)
+    return toks
 
 
 @dataclass

@@ -61,6 +61,17 @@ def _load(name: str):
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
                     ctypes.POINTER(ctypes.c_size_t)]
+            elif name == "fastparse":
+                lib.optimal_parse.restype = ctypes.c_int
+                lib.optimal_parse.argtypes = [
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_ubyte)]
             _LIBS[name] = lib
         except OSError:
             pass
@@ -102,6 +113,39 @@ def _inflate_error(rc: int):
 
 def inflate_available() -> bool:
     return _load("fastinflate") is not None
+
+
+def optimal_parse(mlen: np.ndarray, mdist: np.ndarray, data: np.ndarray,
+                  lit_bits: np.ndarray, lenc_bits: np.ndarray,
+                  dist_bits: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Cost-optimal token parse (zopfli-style squeeze) in C.
+
+    Returns (take mask u8, selected length i32 per position) or None if
+    the library is unavailable."""
+    lib = _load("fastparse")
+    if lib is None:
+        return None
+    n = mlen.size
+    mlen = np.ascontiguousarray(mlen, dtype=np.int32)
+    mdist = np.ascontiguousarray(mdist, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    lit_bits = np.ascontiguousarray(lit_bits, dtype=np.float32)
+    lenc_bits = np.ascontiguousarray(lenc_bits, dtype=np.float32)
+    dist_bits = np.ascontiguousarray(dist_bits, dtype=np.float32)
+    sel = np.zeros(n, dtype=np.int32)
+    take = np.zeros(n, dtype=np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    rc = lib.optimal_parse(
+        mlen.ctypes.data_as(i32p), mdist.ctypes.data_as(i32p), n,
+        data.ctypes.data_as(u8p), lit_bits.ctypes.data_as(f32p),
+        lenc_bits.ctypes.data_as(f32p), dist_bits.ctypes.data_as(f32p),
+        sel.ctypes.data_as(i32p), take.ctypes.data_as(u8p))
+    if rc != 0:
+        return None
+    return take, sel
 
 
 def inflate_raw(data: bytes, bit_pos: int = 0,

@@ -30,13 +30,13 @@ def test_level_ladder_monotone(rfc_text):
         max(sizes[i] - sizes[i + 1] for i in range(len(sizes) - 1)) >= 0
 
 
-def test_high_levels_close_to_zlib(rfc_text):
-    """Levels 7-9 must stay within 0.5% of zlib (deep-chain territory;
-    exact parity is tracked as a perf/ratio TODO via the optimal parse)."""
+def test_high_levels_beat_zlib(rfc_text):
+    """Levels 7-9 use the optimal-parse squeeze and must come in BELOW
+    zlib at the same level."""
     for level in (7, 8, 9):
         ours = len(ft.flate.compress(rfc_text, level=level))
         z = _zsize(rfc_text, level)
-        assert ours <= z * 1.005, f"level {level}: {ours} vs zlib {z}"
+        assert ours <= z, f"level {level}: {ours} vs zlib {z}"
 
 
 def test_huffman_only_beats_store(rfc_text):
