@@ -244,7 +244,10 @@ def tokenize_shard(data: np.ndarray, context: np.ndarray | None,
     length = np.where(decided[idx], mlen[idx], 0).astype(np.int32)
     dist = np.where(decided[idx], mdist[idx], 0).astype(np.int32)
     toks = Tokens(lit=data[idx], length=length, dist=dist)
-    if level >= 7:
+    if level >= 4:
+        # the optimal-parse squeeze costs ~ms per shard (native C DP) and
+        # is worth ~2-3% at every lazy level; levels 1-3 stay greedy-only
+        # as the speed tier
         toks = _squeeze(data, mlen, mdist, toks)
     return toks
 
