@@ -122,7 +122,9 @@ class Compressor:
         if final:
             sink.align_to_byte()
         self._writer.write(sink.getvalue())
-        self._context = chunk[-consts.MAX_DISTANCE:]
+        # accumulate (don't replace): sub-32K writes must extend history so
+        # cross-chunk matches keep the full MAX_DISTANCE window
+        self._context = (self._context + chunk)[-consts.MAX_DISTANCE:]
 
     def flush(self) -> None:
         """Byte-sync everything buffered so far (network-protocol flush)."""

@@ -72,11 +72,22 @@ def generate_codegen(litlen_lens: np.ndarray, dist_lens: np.ndarray
 
     Returns (items, hlit, hdist) where items is a list of
     (codegen_symbol, extra_value, extra_bits).
+
+    The RLE is run separately over the litlen and dist sections so no
+    repeat code (16/17/18) spans the hlit boundary: both our decoder
+    (inflate.read_lens) and the reference's dynamicBlockHeader
+    (inflate.zig:189-216) decode the two sections independently and
+    reject headers whose runs cross it.
     """
     hlit = max(257, int(np.max(np.nonzero(litlen_lens)[0], initial=256)) + 1)
     hdist = max(1, int(np.max(np.nonzero(dist_lens)[0], initial=0)) + 1)
-    seq = np.concatenate([litlen_lens[:hlit], dist_lens[:hdist]]).astype(int)
     items: list[tuple[int, int, int]] = []
+    for seq in (litlen_lens[:hlit].astype(int), dist_lens[:hdist].astype(int)):
+        _codegen_rle(seq, items)
+    return items, hlit, hdist
+
+
+def _codegen_rle(seq: np.ndarray, items: list[tuple[int, int, int]]) -> None:
     i = 0
     n = seq.size
     while i < n:
@@ -103,7 +114,6 @@ def generate_codegen(litlen_lens: np.ndarray, dist_lens: np.ndarray
                 run -= r
             items.extend([(v, 0, 0)] * run)
         i = j
-    return items, hlit, hdist
 
 
 def _codegen_freq(items) -> np.ndarray:

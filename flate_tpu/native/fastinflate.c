@@ -175,8 +175,6 @@ typedef struct {
     uint8_t cg_bit[1 << 7];
 } Tables;
 
-static Tables g_tables;  /* single-threaded host use */
-
 static int read_code_lens(BitReader *br, Tables *t, int hcount,
                           uint8_t *lens, int arr_len) {
     int pos = 0;
@@ -313,7 +311,11 @@ int inflate_raw(const uint8_t *in, size_t in_len, size_t start_bit,
                 size_t *end_bit) {
     BitReader br;
     br_init(&br, in, in_len, start_bit);
-    Tables *t = &g_tables;
+    /* per-call tables: ctypes releases the GIL during this call, so
+     * concurrent decompress calls from Python threads must not share
+     * decode-table state (~197 KB; fits comfortably on the stack) */
+    Tables tables;
+    Tables *t = &tables;
     for (;;) {
         uint32_t bfinal, btype;
         int rc;

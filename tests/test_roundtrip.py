@@ -148,3 +148,22 @@ def test_zlib_oracle_streams_decode(rfc_text):
     # and gzip-produced
     blob = pygzip.compress(rfc_text)
     assert ft.gzip.decompress(blob) == rfc_text
+
+
+def test_small_alphabet_roundtrip_own_decoder():
+    """Regression: codegen RLE must not let a repeat code span the hlit
+    boundary (our decoder and the reference reject such headers; zlib
+    accepts them, which masked the bug in interop-only tests)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    cases = [
+        bytes(rng.integers(0, 2, 50_000, dtype=np.uint8)),   # 2-symbol
+        bytes(rng.integers(97, 100, 30_000, dtype=np.uint8)),  # 3-symbol
+        bytes([5]) * 20_000,                                   # 1-symbol
+        bytes(rng.integers(0, 5, 10_000, dtype=np.uint8) * 50),
+    ]
+    for data in cases:
+        for level in (1, 4, 6, 9):
+            blob = ft.flate.compress(data, level=level)
+            assert ft.flate.decompress(blob) == data
+            assert pyzlib.decompressobj(-15).decompress(blob) == data

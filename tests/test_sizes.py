@@ -25,9 +25,11 @@ def test_size_not_larger_than_zlib(rfc_text, level):
 
 
 def test_level_ladder_monotone(rfc_text):
+    """Higher levels must never produce larger output (with a tiny slack
+    for per-level heuristic noise: <= 0.1% regression between rungs)."""
     sizes = [len(ft.flate.compress(rfc_text, level=lv)) for lv in (1, 4, 6, 9)]
-    assert sizes == sorted(sizes, reverse=True) or \
-        max(sizes[i] - sizes[i + 1] for i in range(len(sizes) - 1)) >= 0
+    for lo, hi in zip(sizes[1:], sizes[:-1]):
+        assert lo <= hi * 1.001, f"ladder not monotone: {sizes}"
 
 
 def test_high_levels_beat_zlib(rfc_text):
