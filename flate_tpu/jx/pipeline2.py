@@ -1,0 +1,170 @@
+"""Fully device-resident compression pipeline (v2).
+
+One jitted program per shard batch does everything round 1 split across
+two device phases and a host planning loop:
+
+    windows -> fused matcher -> lazy parse -> device Huffman planning
+    -> device header build -> block-type selection -> Pallas bit-pack
+
+The host only moves bytes: enqueue the next batch, fetch (words,
+total_bits) of finished batches, slice + concatenate the byte-aligned
+shard streams, and wrap the container.  There is no host planning
+round-trip and no host-spec fallback — tail shards are zero-padded and
+bounded by valid_len on device.
+
+Reference call stack being replaced: SURVEY §3.1 (deflate.compress);
+round-1 twin: jx/pipeline.compress_device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts
+from ..containers import Container, Hasher, write_footer, write_header
+from . import encode2, match2
+from . import parse as prs
+from . import pack as pk
+
+CTX = consts.MAX_DISTANCE
+
+# kernel-path level knobs: (K candidates, carried words, lazy, max_lazy)
+LEVEL_KERNEL = {
+    1: (4, 2, False, 0),
+    2: (8, 2, False, 0),
+    3: (12, 4, False, 0),
+    4: (16, 4, True, 4),
+    5: (24, 4, True, 16),
+    6: (48, 4, True, 32),
+    7: (64, 8, True, 64),
+    8: (96, 8, True, 128),
+    9: (160, 8, True, 258),
+}
+
+
+def _nwr(S: int) -> int:
+    worst_bits = 8 * S + 40 * (S // consts.MAX_STORED_BLOCK + 2) + 64
+    return -(-worst_bits // (32 * 128)) + 2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "ctx", "K", "nw", "lazy",
+                                    "max_lazy", "interpret"))
+def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
+                 ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
+                 finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
+                 lazy: bool, max_lazy: int, interpret: bool = False):
+    """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
+    B = shards.shape[0]
+    # context priming: row b takes row b-1's tail on device; row 0 takes
+    # the host-provided carry (lowers to a collective permute when the
+    # batch axis is sharded over a mesh)
+    tails = shards[:, S - ctx:]
+    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
+    windows = jnp.concatenate([prev, shards], axis=1)
+
+    mlen, mdist = match2.find_matches_fused(
+        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
+        interpret=interpret)
+    take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
+    if jax.default_backend() == "cpu" and not interpret:
+        starts = prs.parse_doubling(mlen, mdist, start=ctx, lazy=lazy,
+                                    max_lazy=max_lazy)
+    else:
+        starts = prs.parse_walk(mlen, mdist, start=ctx, lazy=lazy,
+                                max_lazy=max_lazy, interpret=interpret)
+    vals, bits, total_bits, kind = encode2.build_fields(
+        windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
+        take[:, ctx:], valid_lens, finals, S)
+    words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
+    return words, tbits, kind
+
+
+class _Fetcher:
+    """Bucketed device->host fetch of the used word-row prefix."""
+
+    def __init__(self):
+        self.guess_rows = 16
+
+    def __call__(self, words, tbits_dev):
+        wslice = words[:, :min(self.guess_rows, words.shape[1]), :]
+        try:
+            wslice.copy_to_host_async()
+        except AttributeError:
+            pass
+        tbits = np.asarray(tbits_dev)
+        need = int(tbits.max()) if tbits.size else 0
+        rows = -(-max(need, 1) // (32 * 128)) + 1
+        rows = min(1 << (rows - 1).bit_length(), words.shape[1])
+        self.guess_rows = rows
+        if rows <= wslice.shape[1]:
+            return np.asarray(wslice)[:, :rows, :], tbits
+        return np.asarray(words[:, :rows, :]), tbits
+
+
+def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
+                     container: Container = Container.GZIP,
+                     shard_len: int = consts.SHARD_LEN,
+                     ctx: int = CTX, batch: int = 32,
+                     interpret: bool = False) -> bytes:
+    """One-shot compress through the v2 device pipeline."""
+    if level not in LEVEL_KERNEL:
+        raise ValueError(f"invalid level {level}")
+    K, nw, lazy, max_lazy = LEVEL_KERNEL[level]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.size
+    S = shard_len
+    nshards = max(1, -(-n // S))
+
+    out = bytearray()
+    out += write_header(container)
+    hasher = Hasher(container)
+    hasher.update(data)
+
+    def dispatch(base_shard: int):
+        nb = min(batch, nshards - base_shard)
+        lo0 = base_shard * S
+        shards_np = np.zeros((batch, S), dtype=np.uint8)
+        take_n = min(n - lo0, nb * S)
+        flat = shards_np.reshape(-1)
+        flat[:take_n] = arr[lo0:lo0 + take_n]
+        c0 = min(ctx, lo0)
+        ctx0 = np.zeros(ctx, dtype=np.uint8)
+        if c0:
+            ctx0[ctx - c0:] = arr[lo0 - c0:lo0]
+        ctx_lens = np.full(batch, ctx, dtype=np.int32)
+        ctx_lens[0] = c0
+        valid = np.full(batch, S, dtype=np.int32)
+        for i in range(nb):
+            valid[i] = min(S, n - (base_shard + i) * S)
+        valid[nb:] = 0
+        finals = np.zeros(batch, dtype=np.int32)
+        if base_shard + nb == nshards:
+            finals[nb - 1] = 1
+        words, tbits, kind = encode_batch(
+            jnp.asarray(shards_np), jnp.asarray(ctx0),
+            jnp.asarray(ctx_lens), jnp.asarray(valid),
+            jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
+            max_lazy=max_lazy, interpret=interpret)
+        return nb, words, tbits
+
+    fetch = _Fetcher()
+    bases = list(range(0, nshards, batch))
+    inflight = dispatch(bases[0])
+    for j in range(len(bases)):
+        nb, words, tbits = inflight
+        if j + 1 < len(bases):
+            inflight = dispatch(bases[j + 1])
+        words_np, tbits_np = fetch(words, tbits)
+        flat = words_np.reshape(words_np.shape[0], -1)
+        for i in range(nb):
+            tb = int(tbits_np[i])
+            assert tb % 8 == 0, "shard streams must be byte-aligned"
+            out += flat[i].tobytes()[:tb // 8]
+
+    out += write_footer(container, hasher)
+    return bytes(out)

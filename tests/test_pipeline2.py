@@ -1,0 +1,83 @@
+"""v2 device pipeline end-to-end on CPU (interpret mode, small shards)."""
+
+import gzip as pygzip
+import zlib as pyzlib
+
+import numpy as np
+import pytest
+
+import flate_tpu as ft
+from flate_tpu.containers import Container
+from flate_tpu.jx import pipeline2
+
+S = 7168
+CTX = 1024
+
+
+def _compress(data, level=6, container=Container.GZIP, batch=3):
+    return pipeline2.compress_device2(
+        data, level=level, container=container, shard_len=S, ctx=CTX,
+        batch=batch, interpret=True)
+
+
+@pytest.mark.parametrize("level", [1, 4, 6, 9])
+def test_roundtrip_text_levels(rfc_text, level):
+    data = rfc_text[:3 * S + 500]
+    blob = _compress(data, level=level)
+    assert pygzip.decompress(blob) == data
+    assert ft.gzip.decompress(blob) == data
+
+
+def test_roundtrip_exact_shard_multiple(rfc_text):
+    data = rfc_text[:2 * S]
+    blob = _compress(data)
+    assert pygzip.decompress(blob) == data
+
+
+def test_roundtrip_empty_and_tiny():
+    assert pygzip.decompress(_compress(b"")) == b""
+    assert pygzip.decompress(_compress(b"x")) == b"x"
+    assert pygzip.decompress(_compress(b"hello" * 3)) == b"hello" * 3
+
+
+def test_roundtrip_random_incompressible():
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(0, 256, 2 * S + 77, dtype=np.uint8))
+    blob = _compress(data)
+    assert pygzip.decompress(blob) == data
+    # stored shards keep us near 1:1
+    assert len(blob) <= len(data) + len(data) // 100 + 64
+
+
+def test_zlib_container():
+    data = b"zlib container test " * 400
+    blob = _compress(data, container=Container.ZLIB)
+    assert pyzlib.decompress(blob) == data
+    assert ft.zlib.decompress(blob) == data
+
+
+def test_cross_shard_context_used():
+    """Matches whose sources live in the previous shard's tail (context
+    priming) must be found: period-CTX data compresses to almost nothing
+    in every shard after the first period."""
+    rng = np.random.default_rng(7)
+    period = bytes(rng.integers(0, 256, CTX, dtype=np.uint8))
+    data = period * (2 * S // CTX)          # crosses shard boundaries
+    blob = _compress(data)
+    assert pygzip.decompress(blob) == data
+    # without context, each shard would restart with a stored/raw period;
+    # with context the whole stream is a few hundred bytes of matches
+    assert len(blob) < CTX + len(data) // 50
+
+
+def test_size_sane_vs_zlib(rfc_text):
+    data = rfc_text[:3 * S]
+    ours = len(_compress(data, level=6)) - 18  # container overhead
+    # fair baseline: zlib with a window matched to the test CTX (1 KiB);
+    # the production path runs ctx=32K where the full-window comparison
+    # is pinned by tests/test_sizes.py
+    c = pyzlib.compressobj(6, pyzlib.DEFLATED, CTX.bit_length() - 1)
+    z_matched = len(c.compress(data) + c.flush())
+    z_full = len(pyzlib.compress(data, 6))
+    assert ours <= z_matched, (ours, z_matched)
+    assert ours <= z_full * 1.12, (ours, z_full)
