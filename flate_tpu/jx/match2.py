@@ -64,9 +64,9 @@ def _matcher_kernel(K: int, nw: int,
     tkey = skey_ref[0, 0, :, KPAD:]                    # (1, TILE) u32
     tpos = (tkey & POS_MASK).astype(jnp.int32)
     tbucket = tkey >> POS_BITS
-    tw = [swords_ref[0, t, :, KPAD:] for t in range(nw)]
-    min_src = meta_ref[0, 0]
-    limit = meta_ref[0, 1]
+    tw = [swords_ref[0, 0, t:t + 1, KPAD:] for t in range(nw)]
+    min_src = meta_ref[0, 0, 0]
+    limit = meta_ref[0, 0, 1]
     maxlen = jnp.minimum(consts.MAX_MATCH_LEN, limit - tpos)
 
     def body(_, carry):
@@ -96,7 +96,7 @@ def _matcher_kernel(K: int, nw: int,
     n = tpos.shape
     init = (jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.uint32),
             skey_ref[0, 0, :, :],
-            [swords_ref[0, t, :, :] for t in range(nw)])
+            [swords_ref[0, 0, t:t + 1, :] for t in range(nw)])
     best_score, best_ld, _, _ = jax.lax.fori_loop(0, K, body, init)
     out_ref[0, 0, :, :] = best_ld
 
@@ -105,7 +105,7 @@ def _matcher_kernel(K: int, nw: int,
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                  meta: jnp.ndarray, K: int, nw: int,
                  interpret: bool = False) -> jnp.ndarray:
-    """skey_t: (B, T, 1, L), swords_t: (B, T, nw, 1, L) halo'd tiles
+    """skey_t: (B, T, 1, L), swords_t: (B, T, nw, L) halo'd tiles
     (L = TILE + KPAD).  Returns (B, T*TILE) u32 best len<<16|dist."""
     B, T, _, L = skey_t.shape
     kern = functools.partial(_matcher_kernel, K, nw)
@@ -115,16 +115,16 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, 1, L), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nw, 1, L), lambda b, t: (b, 0, t, 0),
+            pl.BlockSpec((1, 1, nw, L), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda b, t: (b, 0),
+            pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
         interpret=interpret,
-    )(skey_t, jnp.swapaxes(swords_t, 1, 2), meta)
+    )(skey_t, swords_t, meta[:, None, :])
     return out.reshape(B, T * TILE)
 
 

@@ -75,7 +75,7 @@ def _pack_kernel(vals_ref, bits_ref, out_ref, tbits_ref):
         return base + gsum
 
     total = jax.lax.fori_loop(0, G, body, jnp.int32(0))
-    tbits_ref[0, 0] = total
+    tbits_ref[0, 0, 0] = total
 
 
 @functools.partial(jax.jit, static_argnames=("nwr", "interpret"))
@@ -101,13 +101,13 @@ def pack_fields(vals: jnp.ndarray, bits: jnp.ndarray, nwr: int,
         out_specs=(
             pl.BlockSpec((1, nwr, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, nwr, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
         interpret=interpret,
     )(vals.reshape(B, G, GRP), bits.reshape(B, G, GRP))
-    return words, tbits[:, 0]
+    return words, tbits[:, 0, 0]
