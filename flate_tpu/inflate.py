@@ -155,6 +155,17 @@ class _BitCursor:
 # ---------------------------------------------------------------------------
 
 def _decode_dynamic_header(bits: _BitCursor):
+    lit_lens, dst_lens = decode_dynamic_header_lens(bits)
+    ll = build_decode_table(lit_lens, consts.MAX_CODE_BITS, is_litlen=True)
+    dd = build_decode_table(dst_lens, consts.MAX_CODE_BITS, is_litlen=False)
+    return ll, dd
+
+
+def decode_dynamic_header_lens(bits: _BitCursor):
+    """Dynamic block header -> (litlen lens[286], dist lens[30]).
+
+    Shared by the serial decoder and the device planner (jx.inflate2);
+    validation of the resulting length sets is the caller's job."""
     hlit = bits.read(5) + 257
     hdist = bits.read(5) + 1
     hclen = bits.read(4) + 4
@@ -196,9 +207,7 @@ def _decode_dynamic_header(bits: _BitCursor):
 
     lit_lens = read_lens(hlit, 286)
     dst_lens = read_lens(hdist, 30)
-    ll = build_decode_table(lit_lens, consts.MAX_CODE_BITS, is_litlen=True)
-    dd = build_decode_table(dst_lens, consts.MAX_CODE_BITS, is_litlen=False)
-    return ll, dd
+    return lit_lens, dst_lens
 
 
 def _decode_coded_block(bits: _BitCursor, out: bytearray,

@@ -1,0 +1,592 @@
+"""Device inflate — speculative parallel decode on TPU.
+
+TPU-first re-derivation of the decode hot loop (reference:
+inflate.zig:220-239, huffman_decoder.zig:71-175).  Three passes:
+
+1. **Speculative symbol decode at every bit offset** (`_pass1`): pure
+   vector arithmetic — no 2^15 flat tables.  Each position's 15-bit
+   LSB-first window is bit-reversed and decoded with the canonical
+   (Moffat–Turpin) threshold method: code length L = 1 + #{l : v >=
+   lj_lim[l]} against 15 per-shard left-justified limits, symbol index =
+   (v >> (15-L)) + kbase[L], symbol = a 288-entry per-shard gather.
+   Chained fields (length extra, distance code, distance extra) read a
+   staggered 48-bit window with data-dependent *shifts*, never gathers.
+   Result: one packed u32 per bit position: adv(6) | kind(2) |
+   value(8) | dist(15).
+
+2. **True-path walk** (`_walk`, Pallas): the orbit of the body start
+   through `adv` visits exactly the true symbol sequence; the kernel
+   walks it serially in VMEM (one masked row-reduce per step, same mold
+   as jx/parse._walk_kernel) and emits the *compacted* per-symbol words
+   plus a count.  Speculative garbage at unvisited offsets is never
+   touched.
+
+3. **Parallel LZ resolution** (`_resolve`): per-symbol output spans via
+   cumsum; every output byte gets a source pointer (literals point at
+   themselves, match bytes at `start - dist + k % dist`, always strictly
+   left); log2(n) rounds of pointer doubling land every byte on its
+   originating literal.  Host-validated twin: parallel_inflate.py.
+
+Shard boundaries come from the FLT1 index (an RFC1952 EXTRA subfield
+written by pipeline2.compress_device2) so member decode is
+embarrassingly parallel across shards; standard gzip tools ignore the
+subfield.  Streams without an index use the host decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts, tables
+from ..containers import Container, Hasher, parse_header, parse_footer
+from ..errors import (
+    InvalidBlockType,
+    InvalidCode,
+    WrongStoredBlockNlen,
+)
+from .. import inflate as hinf
+
+CTX = consts.MAX_DISTANCE
+
+K_LIT, K_MATCH, K_EOB, K_BAD = 0, 1, 2, 3
+
+# FLT1 gzip EXTRA subfield: per-shard (compressed bytes, output bytes)
+INDEX_SI = b"FT"
+INDEX_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# FLT1 shard index (container-level, gzip EXTRA)
+# ---------------------------------------------------------------------------
+
+def build_index_extra(comp_lens, out_lens) -> bytes:
+    """RFC1952 EXTRA subfield carrying shard boundaries.
+
+    Layout after the 4-byte subfield header: u8 version, u8 flags,
+    u16 n_shards, then n_shards * (u32 comp_len, u32 out_len), all LE."""
+    n = len(comp_lens)
+    if n > 8000:
+        raise ValueError("FLT1 index: too many shards for one member")
+    body = struct.pack("<BBH", INDEX_VERSION, 0, n)
+    body += np.stack([np.asarray(comp_lens, np.uint32),
+                      np.asarray(out_lens, np.uint32)],
+                     axis=1).tobytes()
+    return INDEX_SI + struct.pack("<H", len(body)) + body
+
+
+def parse_index_extra(extra: bytes):
+    """Find and parse the FLT1 subfield; None when absent/foreign."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        si, ln = extra[pos:pos + 2], struct.unpack_from("<H", extra,
+                                                        pos + 2)[0]
+        body = extra[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if si != INDEX_SI or len(body) < 4:
+            continue
+        ver, _flags, n = struct.unpack_from("<BBH", body, 0)
+        if ver != INDEX_VERSION or len(body) != 4 + 8 * n:
+            continue
+        arr = np.frombuffer(body, np.uint32, count=2 * n, offset=4)
+        arr = arr.reshape(n, 2)
+        return arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Host-side per-shard planning: block header -> canonical scalars
+# ---------------------------------------------------------------------------
+
+def canonical_scalars(lens: np.ndarray, nsyms: int):
+    """(lj_lims[16] u32, kbase[16] i32, syms[nsyms] i32) for the
+    threshold decoder.  lens: per-symbol code lengths (0 = unused)."""
+    lens = np.asarray(lens, np.int32)
+    count = np.bincount(lens, minlength=16)[:16]
+    count[0] = 0
+    lims = np.zeros(16, np.uint32)
+    kbase = np.zeros(16, np.int32)
+    first = 0
+    offset = 0
+    for l in range(1, 16):
+        first <<= 1
+        kbase[l] = offset - first
+        offset += int(count[l])
+        first += int(count[l])
+        lims[l] = min(first << (15 - l), 1 << 15)
+    order = np.argsort(lens + (np.arange(len(lens)) + 1) * 16384 *
+                       (lens == 0), kind="stable")
+    live = int((lens > 0).sum())
+    syms = np.zeros(nsyms, np.int32)
+    syms[:live] = order[:live]
+    return lims, kbase, syms
+
+
+class ShardPlan:
+    """One shard's decode plan: either `stored` spans or coded scalars."""
+
+    __slots__ = ("kind", "stored_spans", "start_bit", "final",
+                 "ll", "d", "out_len", "comp", "index")
+
+    def __init__(self):
+        self.kind = "coded"
+        self.stored_spans = None
+
+
+def plan_shard(comp: bytes, out_len: int) -> ShardPlan:
+    """Parse the shard's block header(s) on host (tiny, serial-cheap).
+
+    Our encoder emits per shard either ONE coded block (+ sync marker /
+    final padding) or a run of stored blocks; mixed generic streams fall
+    back to the host decoder upstream."""
+    p = ShardPlan()
+    p.out_len = out_len
+    bits = hinf._BitCursor(comp)
+    bfinal = bits.read(1)
+    btype = bits.read(2)
+    p.final = bfinal
+    if btype == 0:
+        spans = []
+        bits.align_to_byte()
+        while True:
+            ln = bits.read(16)
+            nlen = bits.read(16)
+            if (ln ^ nlen) & 0xFFFF != 0xFFFF:
+                raise WrongStoredBlockNlen("stored LEN/NLEN mismatch")
+            spans.append((bits.pos >> 3, ln))
+            bits.pos += ln * 8
+            if bfinal or sum(s[1] for s in spans) >= out_len:
+                break
+            bfinal = bits.read(1)
+            if bits.read(2) != 0:
+                raise InvalidBlockType("mixed shard block kinds")
+            bits.align_to_byte()
+        p.kind = "stored"
+        p.stored_spans = spans
+        return p
+    if btype == 1:
+        ll_lens = np.asarray(tables.FIXED_LITLEN_LENS, np.int32)
+        d_lens = np.asarray(tables.FIXED_DIST_LENS, np.int32)
+    elif btype == 2:
+        ll_lens, d_lens = hinf.decode_dynamic_header_lens(bits)
+        hinf.check_completeness(ll_lens, consts.MAX_CODE_BITS, True)
+        hinf.check_completeness(d_lens, consts.MAX_CODE_BITS, False)
+    else:
+        raise InvalidBlockType(f"block type {btype}")
+    p.start_bit = bits.pos
+    p.ll = canonical_scalars(ll_lens, 288)
+    p.d = canonical_scalars(d_lens, 32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Pass 1 — speculative decode at every bit offset (vector arithmetic)
+# ---------------------------------------------------------------------------
+
+def _rev15(v: jnp.ndarray) -> jnp.ndarray:
+    v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555)
+    v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333)
+    v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F)
+    v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF)
+    return v >> 1
+
+
+def _bit_windows32(comp: jnp.ndarray):
+    """comp (B, C) u8 -> u (B, 8C) u32: u[p] = LSB-first bits [p, p+32).
+
+    Built with 8 static-shift variants (one per bit-in-byte), no gathers."""
+    B, C = comp.shape
+    ext = jnp.concatenate(
+        [comp, jnp.zeros((B, 13), comp.dtype)], axis=1).astype(jnp.uint32)
+    dw = (ext[:, :C + 5] | (ext[:, 1:C + 6] << 8)
+          | (ext[:, 2:C + 7] << 16) | (ext[:, 3:C + 8] << 24))
+    b4 = ext[:, 4:C + 9]
+    lanes = []
+    for s in range(8):
+        if s == 0:
+            lanes.append(dw)
+        else:
+            lanes.append((dw >> np.uint32(s))
+                         | (b4 << np.uint32(32 - s)))
+    u = jnp.stack(lanes, axis=2)            # (B, C+5, 8)
+    return u.reshape(B, -1)                  # (B, 8C+40)
+
+
+def _field(u0, u1, u2, off, width_mask):
+    """Extract `width<=15` bits at data-dependent offset off in [0, 36)
+    from the staggered windows (u_k = bits [16k, 16k+32))."""
+    rel = (off & 15).astype(jnp.uint32)
+    k = off >> 4
+    v0 = u0 >> rel
+    v1 = u1 >> rel
+    v2 = u2 >> rel
+    v = jnp.where(k == 0, v0, jnp.where(k == 1, v1, v2))
+    return v & width_mask
+
+
+def _thresh_decode(v15, lims, kbase):
+    """Canonical threshold decode: v15 (B, N) left-justified 15-bit
+    values; lims/kbase (B, 16).  Returns (L (B,N) i32, idx (B,N) i32);
+    L == 16 marks invalid codes."""
+    L = jnp.ones_like(v15, dtype=jnp.int32)
+    for l in range(1, 16):
+        L = L + (v15 >= lims[:, l:l + 1]).astype(jnp.int32)
+    kb = jnp.zeros_like(L)
+    for l in range(1, 16):
+        kb = jnp.where(L == l, kbase[:, l:l + 1], kb)
+    idx = (v15 >> jnp.clip(15 - L, 0, 15).astype(jnp.uint32)
+           ).astype(jnp.int32) + kb
+    return L, idx
+
+
+def _length_decode(li):
+    """Arithmetic LENGTH_BASE / extra bits from length-code index li
+    (0..28) — closed forms of tables.LENGTH_BASE/LENGTH_EXTRA_BITS."""
+    e = jnp.maximum(li // 4 - 1, 0)
+    base = ((4 + (li & 3)) << e.astype(jnp.uint32)) + 3
+    base = jnp.where(li < 4, li + 3, base)
+    base = jnp.where(li == 28, 258, base)
+    eb = jnp.where((li < 4) | (li == 28), 0, e)
+    return base, eb
+
+
+def _dist_decode(di):
+    """Arithmetic DIST_BASE / extra bits from distance-code index."""
+    e = jnp.maximum(di // 2 - 1, 0)
+    base = ((2 + (di & 1)) << e.astype(jnp.uint32)) + 1
+    base = jnp.where(di < 2, di + 1, base)
+    eb = jnp.where(di < 2, 0, e)
+    return base, eb
+
+
+def _pass1(comp, lims_ll, kbase_ll, syms_ll, lims_d, kbase_d, syms_d):
+    """Packed speculative word per bit position:
+    adv(6 bits, 0..48) | kind(2) << 6 | value(8) << 8 | (dist-1)(15) << 16.
+    """
+    B, C = comp.shape
+    u = _bit_windows32(comp)
+    N = 8 * C
+    u0 = u[:, :N]
+    u1 = jnp.concatenate([u[:, 16:], jnp.zeros((B, 16), u.dtype)],
+                         axis=1)[:, :N]
+    u2 = jnp.concatenate([u[:, 32:], jnp.zeros((B, 32), u.dtype)],
+                         axis=1)[:, :N]
+
+    v15 = _rev15(u0 & 0x7FFF)
+    L, idx = _thresh_decode(v15, lims_ll, kbase_ll)
+    bad = L > 15
+    idx = jnp.clip(idx, 0, syms_ll.shape[1] - 1)
+    sym = jnp.take_along_axis(syms_ll, idx, axis=1)
+
+    is_lit = (sym < 256) & ~bad
+    is_eob = (sym == 256) & ~bad
+    is_m = (sym > 256) & ~bad
+    li = jnp.clip(sym - 257, 0, 28)
+    bad |= (sym > 256) & (sym - 257 > 28)
+    lbase, leb = _length_decode(li)
+    lev = _field(u0, u1, u2, L, jnp.uint32(0x1FFF)) \
+        & ((jnp.uint32(1) << leb.astype(jnp.uint32)) - 1)
+    length = lbase + lev.astype(jnp.int32)
+
+    o2 = L + leb
+    vd15 = _rev15(_field(u0, u1, u2, o2, jnp.uint32(0x7FFF)))
+    Ld, idxd = _thresh_decode(vd15, lims_d, kbase_d)
+    bad |= is_m & (Ld > 15)
+    idxd = jnp.clip(idxd, 0, syms_d.shape[1] - 1)
+    dsym = jnp.take_along_axis(syms_d, idxd, axis=1)
+    bad |= is_m & (dsym > 29)
+    di = jnp.clip(dsym, 0, 29)
+    dbase, deb = _dist_decode(di)
+    o3 = o2 + Ld
+    dev = _field(u0, u1, u2, o3, jnp.uint32(0x1FFF)) \
+        & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
+    dist = dbase + dev.astype(jnp.int32)
+
+    adv = jnp.where(is_m, o3 + deb, L)
+    kind = jnp.where(bad, K_BAD,
+                     jnp.where(is_eob, K_EOB,
+                               jnp.where(is_m, K_MATCH, K_LIT)))
+    value = jnp.where(is_m, length - 3, sym & 0xFF)
+    adv = jnp.where(bad, 1, adv)
+    word = (adv.astype(jnp.uint32)
+            | (kind.astype(jnp.uint32) << 6)
+            | (value.astype(jnp.uint32) << 8)
+            | (jnp.where(is_m, dist - 1, 0).astype(jnp.uint32) << 16))
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Pass 2 — Pallas walk: visit true symbol starts, emit compacted words
+# ---------------------------------------------------------------------------
+
+def _walk_kernel(word_ref, meta_ref, out_ref, cnt_ref):
+    NSR, LW = out_ref.shape[-2], out_ref.shape[-1]
+    NS = NSR * LW
+    out_ref[...] = jnp.zeros_like(out_ref)
+    start = meta_ref[0, 0, 0]
+    n = meta_ref[0, 0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LW), 1)
+
+    def cond(c):
+        cur, k = c
+        return (cur < n) & (k < NS)
+
+    def body(c):
+        cur, k = c
+        r = cur // LW
+        col = cur - r * LW
+        onehot = lane == col
+        row = word_ref[0, pl.ds(r, 1), :]
+        w = jnp.sum(jnp.where(onehot, row, 0).astype(jnp.uint32))
+        kr = k // LW
+        kc = k - kr * LW
+        koh = lane == kc
+        orow = out_ref[0, pl.ds(kr, 1), :]
+        out_ref[0, pl.ds(kr, 1), :] = orow | jnp.where(
+            koh, w, 0).astype(jnp.uint32)
+        kindv = (w >> 6) & 3
+        nxt = jnp.where(kindv == K_EOB, n,
+                        cur + (w & 63).astype(jnp.int32))
+        return nxt, k + 1
+
+    _, k = jax.lax.while_loop(cond, body, (start, jnp.int32(0)))
+    cnt_ref[0, 0, 0] = k
+
+
+def _walk(word: jnp.ndarray, start: jnp.ndarray, nbits: jnp.ndarray,
+          NS: int, interpret: bool):
+    """word (B, N) u32 -> (symbol words (B, NS) u32, counts (B,))."""
+    B, N = word.shape
+    assert N % 1024 == 0 and NS % 128 == 0
+    meta = jnp.stack([start.astype(jnp.int32), nbits.astype(jnp.int32)],
+                     axis=1)[:, None, :]
+    out, cnt = pl.pallas_call(
+        _walk_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N // 128, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, NS // 128, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NS // 128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(word.reshape(B, N // 128, 128), meta)
+    return out.reshape(B, NS), cnt[:, 0, 0]
+
+
+import jax.experimental.pallas as pl  # noqa: E402  (used above in specs)
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Pass 3 — parallel LZ resolution over the batch
+# ---------------------------------------------------------------------------
+
+def _resolve(words, counts, out_lens, ctx0, S: int):
+    """words (B, NS) u32 compacted symbols; ctx0 (CTX,) u8 resolved
+    context.  Returns (flat output (B*S,) u8 in global layout, err (B,)).
+
+    Shards are consecutive member spans: shard b occupies
+    [CTX + b*S, CTX + b*S + out_lens[b]) of the flat buffer (out_lens
+    == S except the member tail), so in-batch back-references cross
+    shard boundaries exactly like the original stream."""
+    B, NS = words.shape
+    slots = jnp.arange(NS, dtype=jnp.int32)[None, :]
+    live = slots < (counts[:, None] - 1)     # drop the trailing EOB
+    kind = ((words >> 6) & 3).astype(jnp.int32)
+    value = ((words >> 8) & 0xFF).astype(jnp.int32)
+    dist = ((words >> 16) & 0x7FFF).astype(jnp.int32) + 1
+    is_m = live & (kind == K_MATCH)
+    is_l = live & (kind == K_LIT)
+    err = jnp.sum(jnp.where(live & (kind == K_BAD), 1, 0), axis=1)
+    # stream must end with EOB exactly at counts-1
+    last = jnp.take_along_axis(
+        words, jnp.maximum(counts - 1, 0)[:, None], axis=1)[:, 0]
+    err = err + jnp.where(
+        (counts < 1) | (((last >> 6) & 3) != K_EOB), 1, 0)
+
+    olen = jnp.where(is_m, value + 3, jnp.where(is_l, 1, 0))
+    ends = jnp.cumsum(olen, axis=1)
+    offs = ends - olen
+    err = err + jnp.where(ends[:, -1] != out_lens, 1, 0)
+
+    base = CTX + jnp.arange(B, dtype=jnp.int32)[:, None] * S
+    T = CTX + B * S
+    # literal placement
+    lit_pos = jnp.where(is_l, base + offs, T).reshape(-1)
+    init = jnp.zeros(T + 1, jnp.int32).at[lit_pos].set(
+        value.reshape(-1), mode="drop")
+    init = init.at[:CTX].set(ctx0.astype(jnp.int32))
+
+    # per output byte: owning symbol via start-marks + cummax
+    pos_in = jnp.arange(S, dtype=jnp.int32)[None, :]
+    marks = jnp.zeros((B, S + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.where(live, offs, S)].max(
+        jnp.where(live, slots, 0), mode="drop")[:, :S]
+    owner = jax.lax.cummax(marks, axis=1)
+    o_off = jnp.take_along_axis(offs, owner, axis=1)
+    o_dist = jnp.take_along_axis(dist, owner, axis=1)
+    o_ism = jnp.take_along_axis(is_m.astype(jnp.int32), owner, axis=1)
+    k_rel = pos_in - o_off
+    src = base + o_off - o_dist + k_rel % o_dist
+    glob = base + pos_in
+    in_range = pos_in < out_lens[:, None]
+    P = jnp.where((o_ism > 0) & in_range, src, glob)
+    err = err + jnp.sum(jnp.where(in_range & (P < 0), 1, 0), axis=1)
+    P = jnp.clip(P, 0, T)
+
+    Pf = jnp.concatenate([jnp.arange(CTX, dtype=jnp.int32),
+                          P.reshape(-1),
+                          jnp.asarray([T], jnp.int32)])
+    rounds = max(1, int(np.ceil(np.log2(max(T, 2)))))
+    for _ in range(rounds):
+        Pf = jnp.take(Pf, Pf)
+    out = jnp.take(init, Pf)[CTX:T]
+    return out.astype(jnp.uint8), err
+
+
+# ---------------------------------------------------------------------------
+# Batched device decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("S", "NS", "interpret"))
+def decode_batch(comp, clen, start, lims_ll, kbase_ll, syms_ll,
+                 lims_d, kbase_d, syms_d, out_lens, ctx0, *,
+                 S: int, NS: int, interpret: bool = False):
+    word = _pass1(comp, lims_ll, kbase_ll, syms_ll,
+                  lims_d, kbase_d, syms_d)
+    words, counts = _walk(word, start, 8 * clen, NS, interpret)
+    out, err = _resolve(words, counts, out_lens, ctx0, S)
+    return out, err, counts
+
+
+def _bucket(c: int) -> int:
+    b = 8192
+    while b < c:
+        b *= 2
+    return b
+
+
+def decompress_member_device(data: bytes, offset: int,
+                             container: Container = Container.GZIP,
+                             batch: int = 8, interpret: bool = False,
+                             verify: bool = True):
+    """Decode one indexed member starting at `offset`.
+
+    Returns (bytes, next_offset).  Raises LookupError when the member
+    carries no usable FLT1 index (caller falls back to the host path)."""
+    hdr_len, meta = parse_header(container, data[offset:])
+    if meta is None or meta.extra is None:
+        raise LookupError("no FLT1 index")
+    idx = parse_index_extra(meta.extra)
+    if idx is None:
+        raise LookupError("no FLT1 index")
+    comp_lens, out_lens = idx
+    body = offset + hdr_len
+    starts = body + np.concatenate([[0], np.cumsum(comp_lens)[:-1]])
+    total_comp = int(comp_lens.sum())
+
+    S = int(out_lens.max()) if len(out_lens) else 1
+    S = max(-(-S // 1024) * 1024, 1024)
+    NS = S + 128
+    n = len(comp_lens)
+    out = bytearray()
+    hasher = Hasher(container)
+
+    i = 0
+    while i < n:
+        nb = min(batch, n - i)
+        plans = []
+        for j in range(i, i + nb):
+            sh = data[starts[j]:starts[j] + int(comp_lens[j])]
+            plans.append((plan_shard(sh, int(out_lens[j])), sh))
+        # stored shards resolve on host (pure memcpy)
+        coded = [j for j, (p, _) in enumerate(plans) if p.kind == "coded"]
+        results: list = [None] * nb
+        for j, (p, sh) in enumerate(plans):
+            if p.kind == "stored":
+                buf = bytearray()
+                for off, ln in p.stored_spans:
+                    buf += sh[off:off + ln]
+                results[j] = bytes(buf[:p.out_len])
+        if coded:
+            cmax = _bucket(max(int(comp_lens[i + j]) for j in coded))
+            Bc = len(coded)
+            comp_a = np.zeros((Bc, cmax), np.uint8)
+            meta = np.zeros((Bc, 3), np.int32)
+            sc = {k: np.zeros((Bc, 16), np.uint32) for k in ("lll", "lld")}
+            kb = {k: np.zeros((Bc, 16), np.int32) for k in ("lll", "lld")}
+            sy_ll = np.zeros((Bc, 288), np.int32)
+            sy_d = np.zeros((Bc, 32), np.int32)
+            for bi, j in enumerate(coded):
+                p, sh = plans[j]
+                comp_a[bi, :len(sh)] = np.frombuffer(sh, np.uint8)
+                meta[bi] = (len(sh), p.start_bit, p.out_len)
+                sc["lll"][bi], kb["lll"][bi], sy_ll[bi] = p.ll
+                sc["lld"][bi], kb["lld"][bi], sy_d[bi] = p.d
+            ctx0 = np.zeros(CTX, np.uint8)
+            hist = bytes(out[-CTX:])
+            if hist:
+                ctx0[CTX - len(hist):] = np.frombuffer(hist, np.uint8)
+            # batch rows must be member-consecutive for in-batch
+            # back-references; host-resolved stored shards in between
+            # break that, so decode coded runs one contiguous run at a
+            # time when mixed
+            dev_out, err, _ = decode_batch(
+                jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
+                jnp.asarray(meta[:, 1]),
+                jnp.asarray(sc["lll"]), jnp.asarray(kb["lll"]),
+                jnp.asarray(sy_ll),
+                jnp.asarray(sc["lld"]), jnp.asarray(kb["lld"]),
+                jnp.asarray(sy_d),
+                jnp.asarray(meta[:, 2]), jnp.asarray(ctx0),
+                S=S, NS=NS, interpret=interpret)
+            err_np = np.asarray(err)
+            out_np = np.asarray(dev_out).reshape(Bc, S)
+            if err_np.any():
+                raise InvalidCode("device decode failed")
+            if coded != list(range(nb)) and len(coded) > 1:
+                # mixed batch: only safe when each coded run is
+                # self-contained; conservative fallback
+                raise LookupError("mixed stored/coded batch")
+            for bi, j in enumerate(coded):
+                p, _ = plans[j]
+                results[j] = out_np[bi, :p.out_len].tobytes()
+        for r in results:
+            out += r
+            hasher.update(r)
+        i += nb
+
+    foot_off = body + total_comp
+    foot_len = parse_footer(container, data[foot_off:], hasher)
+    return bytes(out), foot_off + foot_len
+
+
+def decompress_device(data: bytes,
+                      container: Container = Container.GZIP,
+                      batch: int = 8,
+                      interpret: bool = False) -> bytes:
+    """Device decode of a (possibly multi-member) indexed stream."""
+    out = bytearray()
+    offset = 0
+    while offset < len(data):
+        chunk, offset = decompress_member_device(
+            data, offset, container, batch=batch, interpret=interpret)
+        out += chunk
+        if container is not Container.GZIP:
+            break
+    return bytes(out)

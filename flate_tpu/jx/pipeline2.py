@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import consts
-from ..containers import Container, Hasher, write_footer, write_header
+from ..containers import (Container, GzipMetadata, Hasher, write_footer,
+                          write_header)
 from . import encode2, match2
 from . import parse as prs
 from . import pack as pk
@@ -110,8 +111,14 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
                      container: Container = Container.GZIP,
                      shard_len: int = consts.SHARD_LEN,
                      ctx: int = CTX, batch: int = 32,
+                     index: bool = True,
                      interpret: bool = False) -> bytes:
-    """One-shot compress through the v2 device pipeline."""
+    """One-shot compress through the v2 device pipeline.
+
+    When `index` is set (gzip only), the header carries an FLT1 EXTRA
+    subfield with per-shard (compressed, output) byte lengths so
+    jx.inflate2 can decode the member shard-parallel on device; standard
+    gzip tools ignore the subfield (RFC 1952 §2.3.1.1)."""
     if level not in LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
     K, nw, lazy, max_lazy = LEVEL_KERNEL[level]
@@ -121,7 +128,7 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
     nshards = max(1, -(-n // S))
 
     out = bytearray()
-    out += write_header(container)
+    comp_lens: list = []
     hasher = Hasher(container)
     hasher.update(data)
 
@@ -164,7 +171,15 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
         for i in range(nb):
             tb = int(tbits_np[i])
             assert tb % 8 == 0, "shard streams must be byte-aligned"
+            comp_lens.append(tb // 8)
             out += flat[i].tobytes()[:tb // 8]
 
-    out += write_footer(container, hasher)
-    return bytes(out)
+    if index and container is Container.GZIP and nshards <= 8000:
+        from . import inflate2
+        out_lens = [min(S, n - i * S) if n else 0 for i in range(nshards)]
+        meta = GzipMetadata(
+            extra=inflate2.build_index_extra(comp_lens, out_lens))
+        header = write_header(container, meta)
+    else:
+        header = write_header(container)
+    return header + bytes(out) + write_footer(container, hasher)

@@ -1,0 +1,99 @@
+"""Device inflate (jx.inflate2) on CPU: index plumbing + end-to-end.
+
+Streams come from the v2 device encoder (which writes the FLT1 shard
+index); decode runs the full three-pass device path in interpret mode
+and must match both the original bytes and the host decoder.
+"""
+
+import gzip as pygzip
+
+import numpy as np
+import pytest
+
+import flate_tpu as ft
+from flate_tpu.containers import Container
+from flate_tpu.jx import inflate2, pipeline2
+
+S = 7168
+CTX = 1024
+
+
+def _compress(data, level=6, batch=3):
+    return pipeline2.compress_device2(
+        data, level=level, shard_len=S, ctx=CTX, batch=batch,
+        interpret=True)
+
+
+def _decompress(blob, batch=3):
+    return inflate2.decompress_device(blob, batch=batch, interpret=True)
+
+
+def test_index_extra_roundtrip():
+    comp = [123, 45678, 1]
+    outl = [7168, 7168, 33]
+    extra = inflate2.build_index_extra(comp, outl)
+    got = inflate2.parse_index_extra(extra)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], comp)
+    np.testing.assert_array_equal(got[1], outl)
+    # foreign subfields before ours are skipped
+    got2 = inflate2.parse_index_extra(b"XX\x03\x00abc" + extra)
+    assert got2 is not None and list(got2[0]) == comp
+    assert inflate2.parse_index_extra(b"XX\x03\x00abc") is None
+
+
+def test_indexed_stream_standard_tools(rfc_text):
+    """The FLT1 EXTRA subfield must not disturb standard decoders."""
+    data = rfc_text[:2 * S + 500]
+    blob = _compress(data)
+    assert pygzip.decompress(blob) == data
+    assert ft.gzip.decompress(blob) == data
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_device_decode_text(rfc_text, level):
+    data = rfc_text[:3 * S + 500]
+    blob = _compress(data, level=level)
+    assert _decompress(blob) == data
+
+
+def test_device_decode_tiny_and_empty():
+    assert _decompress(_compress(b"")) == b""
+    assert _decompress(_compress(b"x")) == b"x"
+    assert _decompress(_compress(b"hello" * 3)) == b"hello" * 3
+
+
+def test_device_decode_stored_shards():
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 256, 2 * S + 77, dtype=np.uint8))
+    blob = _compress(data)
+    assert _decompress(blob) == data
+
+
+def test_device_decode_cross_shard_matches():
+    rng = np.random.default_rng(7)
+    period = bytes(rng.integers(0, 256, CTX, dtype=np.uint8))
+    data = period * (2 * S // CTX)
+    blob = _compress(data)
+    assert _decompress(blob) == data
+
+
+def test_device_decode_multi_member(rfc_text):
+    data1 = rfc_text[:S + 99]
+    data2 = b"second member " * 100
+    blob = _compress(data1) + _compress(data2)
+    assert _decompress(blob) == data1 + data2
+
+
+def test_device_decode_checksum_verified(rfc_text):
+    data = rfc_text[:S]
+    blob = bytearray(_compress(data))
+    blob[-5] ^= 0xFF                      # corrupt CRC32 footer
+    with pytest.raises(ft.errors.WrongGzipChecksum):
+        _decompress(bytes(blob))
+
+
+def test_unindexed_stream_raises_lookup(rfc_text):
+    blob = ft.gzip.compress(rfc_text[:2000], level=6)
+    with pytest.raises(LookupError):
+        _decompress(blob)
