@@ -52,22 +52,15 @@ def _nwr(S: int) -> int:
     return -(-worst_bits // (32 * 128)) + 2
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("S", "ctx", "K", "nw", "lazy",
-                                    "max_lazy", "interpret"))
-def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
-                 ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
-                 finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
-                 lazy: bool, max_lazy: int, interpret: bool = False):
-    """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
-    B = shards.shape[0]
-    # context priming: row b takes row b-1's tail on device; row 0 takes
-    # the host-provided carry (lowers to a collective permute when the
-    # batch axis is sharded over a mesh)
-    tails = shards[:, S - ctx:]
-    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
-    windows = jnp.concatenate([prev, shards], axis=1)
+def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
+                valid_lens: jnp.ndarray, finals: jnp.ndarray, *, S: int,
+                ctx: int, K: int, nw: int, lazy: bool, max_lazy: int,
+                interpret: bool = False):
+    """(B, ctx+S) primed windows -> (words, tbits, kind).
 
+    The traceable heart of the v2 pipeline, shared by the single-device
+    jit wrapper and the shard_map mesh path (which primes windows with a
+    ppermute context exchange instead of a batch roll)."""
     mlen, mdist = match2.find_matches_fused(
         windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
         interpret=interpret)
@@ -83,6 +76,24 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
         take[:, ctx:], valid_lens, finals, S)
     words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
     return words, tbits, kind
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "ctx", "K", "nw", "lazy",
+                                    "max_lazy", "interpret"))
+def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
+                 ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
+                 finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
+                 lazy: bool, max_lazy: int, interpret: bool = False):
+    """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
+    # context priming: row b takes row b-1's tail on device; row 0 takes
+    # the host-provided carry
+    tails = shards[:, S - ctx:]
+    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
+    windows = jnp.concatenate([prev, shards], axis=1)
+    return encode_core(windows, ctx_lens, valid_lens, finals, S=S, ctx=ctx,
+                       K=K, nw=nw, lazy=lazy, max_lazy=max_lazy,
+                       interpret=interpret)
 
 
 class _Fetcher:
