@@ -96,6 +96,52 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
                        interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("ctx",))
+def _prime_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
+    S = shards.shape[1]
+    tails = shards[:, S - ctx:]
+    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
+    return jnp.concatenate([prev, shards], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("lazy", "max_lazy", "ctx",
+                                             "interpret"))
+def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
+                 max_lazy: int, ctx: int, interpret: bool = False):
+    take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
+    if jax.default_backend() == "cpu" and not interpret:
+        starts = prs.parse_doubling(mlen, mdist, start=ctx, lazy=lazy,
+                                    max_lazy=max_lazy)
+    else:
+        starts = prs.parse_walk(mlen, mdist, start=ctx, lazy=lazy,
+                                max_lazy=max_lazy, interpret=interpret)
+    return take, starts
+
+
+def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
+                        S: int, ctx: int, K: int, nw: int, lazy: bool,
+                        max_lazy: int, interpret: bool = False):
+    """Stage-jitted twin of encode_batch.
+
+    Same math as the single-jit path, but each stage is its own jitted
+    program: compile time at production shapes drops from tens of
+    minutes (the fused program) to a couple of minutes total, at the
+    cost of inter-stage HBM round-trips (microseconds — every stage is
+    memory-bound on (B, W) arrays anyway).  Intermediates stay on
+    device; the host never blocks between stages."""
+    windows = _prime_windows(shards, ctx0, ctx=ctx)
+    mlen, mdist = match2.find_matches_fused(
+        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
+        interpret=interpret)
+    take, starts = _parse_stage(mlen, mdist, lazy=lazy, max_lazy=max_lazy,
+                                ctx=ctx, interpret=interpret)
+    vals, bits, total_bits, kind = encode2.build_fields(
+        windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
+        take[:, ctx:], valid_lens, finals, S)
+    words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
+    return words, tbits, kind
+
+
 class _Fetcher:
     """Bucketed device->host fetch of the used word-row prefix."""
 
@@ -123,7 +169,8 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
                      shard_len: int = consts.SHARD_LEN,
                      ctx: int = CTX, batch: int = 32,
                      index: bool = True,
-                     interpret: bool = False) -> bytes:
+                     interpret: bool = False,
+                     fused: bool = False) -> bytes:
     """One-shot compress through the v2 device pipeline.
 
     When `index` is set (gzip only), the header carries an FLT1 EXTRA
@@ -163,7 +210,8 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
         finals = np.zeros(batch, dtype=np.int32)
         if base_shard + nb == nshards:
             finals[nb - 1] = 1
-        words, tbits, kind = encode_batch(
+        enc_fn = encode_batch if fused else encode_batch_staged
+        words, tbits, kind = enc_fn(
             jnp.asarray(shards_np), jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,

@@ -102,9 +102,8 @@ def test_device_pipeline_incompressible():
 def test_graft_entry_single():
     import __graft_entry__ as ge
     fn, args = ge.entry()
-    out = fn(*args)
-    nt = np.asarray(out[0]["ntokens"])
-    assert (nt > 0).all()
+    words, tbits, kind = fn(*args)
+    assert (np.asarray(tbits) > 0).all()
 
 
 def test_graft_dryrun_multichip():
