@@ -154,10 +154,14 @@ class Compressor:
 class Decompressor:
     """Streaming decompressor: read()/reset()/set_reader().
 
-    Pull-based like the reference's Inflate iterator (inflate.zig:315-336):
-    decoded members are served in chunks; reset() continues with the next
-    concatenated stream in the same buffer.
+    Pull-based like the reference's Inflate iterator (inflate.zig:315-336
+    + CircularBuffer.zig): with the native decoder present, `read(n)`
+    decodes incrementally through a resumable 64K-history stream, so
+    decoded memory is O(64K) regardless of member size.  reset()
+    continues with the next concatenated stream in the same buffer.
     """
+
+    CHUNK = 1 << 16
 
     def __init__(self, reader, container: Container = Container.RAW,
                  verify: bool = True, dictionary: Optional[bytes] = None):
@@ -166,42 +170,118 @@ class Decompressor:
         self._verify = verify
         self._dictionary = dictionary
         self._pos = 0
+        # whole-member fallback state (no native library)
         self._out: Optional[bytes] = None
         self._out_pos = 0
+        # streaming state
+        self._stream = None
+        self._hasher: Optional[Hasher] = None
+        self._member_done = False
 
-    def _ensure_decoded(self) -> None:
-        if self._out is None:
+    def _start_member(self) -> bool:
+        """Open a streaming decode of the member at self._pos.
+        Returns False if the native streaming decoder is unavailable."""
+        from . import native
+        from .containers import parse_header
+        if not native.inflate_available():
+            return False
+        hdr, _meta = parse_header(
+            self._container, self._data[self._pos:],
+            allow_dict=self._dictionary is not None)
+        self._stream = native.InflateStream(
+            self._data, (self._pos + hdr) * 8, self._dictionary)
+        self._hasher = Hasher(self._container)
+        self._member_done = False
+        return True
+
+    def _finish_member(self) -> None:
+        """Advance past the footer, verifying checksums."""
+        from .containers import parse_footer
+        end_byte = (self._stream.end_bit + 7) // 8
+        if self._container is not Container.RAW:
+            if self._verify:
+                consumed = parse_footer(
+                    self._container, self._data[end_byte:], self._hasher)
+            else:
+                consumed = self._container.footer_size
+                if len(self._data) < end_byte + consumed:
+                    from .errors import EndOfStream
+                    raise EndOfStream()
+            end_byte += consumed
+        self._pos = end_byte
+        self._member_done = True
+
+    def read(self, n: int = -1) -> bytes:
+        if self._out is not None or self._stream is not None:
+            pass
+        elif not self._start_member():
+            # fallback: whole-member decode via the spec path
             self._out, self._pos = decompress_member(
                 self._data, self._pos, self._container, self._verify,
                 self._dictionary)
             self._out_pos = 0
-
-    def read(self, n: int = -1) -> bytes:
-        self._ensure_decoded()
+        if self._out is not None:
+            if n < 0:
+                n = len(self._out) - self._out_pos
+            chunk = self._out[self._out_pos:self._out_pos + n]
+            self._out_pos += len(chunk)
+            return chunk
+        if self._member_done:
+            return b""
         if n < 0:
-            n = len(self._out) - self._out_pos
-        chunk = self._out[self._out_pos:self._out_pos + n]
-        self._out_pos += len(chunk)
+            parts = []
+            while True:
+                c = self._stream.read(self.CHUNK)
+                if not c:
+                    break
+                if self._verify:
+                    self._hasher.update(c)
+                else:
+                    self._hasher.nbytes += len(c)
+                parts.append(c)
+            self._finish_member()
+            return b"".join(parts)
+        chunk = self._stream.read(n)
+        if self._verify:
+            self._hasher.update(chunk)
+        else:
+            self._hasher.nbytes += len(chunk)
+        if self._stream.done and not chunk:
+            # footer validated only after all payload was served, like the
+            # reference's step() erroring on the call after the last drain
+            self._finish_member()
         return chunk
 
     def read_all(self) -> bytes:
         return self.read(-1)
 
     def decompress(self, writer) -> None:
-        writer.write(self.read_all())
+        """Stream the member to `writer` in bounded chunks."""
+        while True:
+            chunk = self.read(self.CHUNK)
+            if not chunk:
+                break
+            writer.write(chunk)
 
     def reset(self) -> None:
         """Prepare for the next concatenated stream (inflate.zig:301-309)."""
         self._out = None
         self._out_pos = 0
+        self._stream = None
+        self._hasher = None
+        self._member_done = False
 
     def at_end(self) -> bool:
         return self._pos >= len(self._data)
 
     def set_reader(self, reader) -> None:
-        """Resume with additional input (inflate.zig:283)."""
+        """Resume with additional input (inflate.zig:283); works
+        mid-member — the active stream's cursor is rebased in place."""
+        dropped = self._pos
         self._data = self._data[self._pos:] + _to_bytes(reader)
         self._pos = 0
+        if self._stream is not None and not self._member_done:
+            self._stream.rebase(self._data, dropped)
 
 
 # ---------------------------------------------------------------------------

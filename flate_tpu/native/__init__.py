@@ -61,6 +61,24 @@ def _load(name: str):
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
                     ctypes.POINTER(ctypes.c_size_t)]
+                lib.inflate_stream_state_size.restype = ctypes.c_size_t
+                lib.inflate_stream_state_size.argtypes = []
+                lib.inflate_stream_init.restype = None
+                lib.inflate_stream_init.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t]
+                lib.inflate_stream_read.restype = ctypes.c_int
+                lib.inflate_stream_read.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]
+                lib.inflate_stream_end_bit.restype = ctypes.c_size_t
+                lib.inflate_stream_end_bit.argtypes = [ctypes.c_void_p]
+                lib.inflate_stream_done.restype = ctypes.c_int
+                lib.inflate_stream_done.argtypes = [ctypes.c_void_p]
+                lib.inflate_stream_rebase.restype = None
+                lib.inflate_stream_rebase.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t]
             elif name == "fastparse":
                 lib.optimal_parse.restype = ctypes.c_int
                 lib.optimal_parse.argtypes = [
@@ -179,3 +197,66 @@ def inflate_raw(data: bytes, bit_pos: int = 0,
             cap *= 2
             continue
         raise _inflate_error(rc)()
+
+
+class InflateStream:
+    """Resumable bounded-memory raw-deflate decoder (native).
+
+    Decodes one member with O(64K) state regardless of output size:
+    history lives in a private ring inside the C state, and `read(n)`
+    returns at most n decoded bytes, suspending mid-block/mid-match.
+    Mirrors the reference's pull-based engine (inflate.zig:315-336 +
+    CircularBuffer.zig).  Raises the exact flate_tpu.errors taxonomy.
+    """
+
+    def __init__(self, data: bytes, start_bit: int = 0,
+                 dictionary: bytes | None = None):
+        lib = _load("fastinflate")
+        if lib is None:
+            raise RuntimeError("native fastinflate unavailable")
+        self._lib = lib
+        self._data = np.frombuffer(data, dtype=np.uint8) if data \
+            else np.zeros(1, dtype=np.uint8)
+        self._data_len = len(data)
+        self._state = ctypes.create_string_buffer(
+            lib.inflate_stream_state_size())
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        if dictionary:
+            d = np.frombuffer(dictionary, dtype=np.uint8)
+            lib.inflate_stream_init(self._state, start_bit,
+                                    d.ctypes.data_as(u8p), d.size)
+        else:
+            lib.inflate_stream_init(self._state, start_bit, None, 0)
+        self._done = False
+
+    @property
+    def done(self) -> bool:
+        return self._done
+
+    @property
+    def end_bit(self) -> int:
+        return int(self._lib.inflate_stream_end_bit(self._state))
+
+    def read(self, n: int) -> bytes:
+        """Decode up to n more bytes; b'' iff the member is complete."""
+        if self._done or n <= 0:
+            return b""
+        out = np.empty(n, dtype=np.uint8)
+        written = ctypes.c_size_t(0)
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        rc = self._lib.inflate_stream_read(
+            self._state, self._data.ctypes.data_as(u8p), self._data_len,
+            out.ctypes.data_as(u8p), n, ctypes.byref(written))
+        if rc == 0:
+            self._done = True
+        elif rc != -2:
+            raise _inflate_error(rc)()
+        return out[:written.value].tobytes()
+
+    def rebase(self, data: bytes, dropped: int) -> None:
+        """Swap the member buffer after `dropped` front bytes were cut
+        (Decompressor.set_reader support)."""
+        self._lib.inflate_stream_rebase(self._state, dropped)
+        self._data = np.frombuffer(data, dtype=np.uint8) if data \
+            else np.zeros(1, dtype=np.uint8)
+        self._data_len = len(data)

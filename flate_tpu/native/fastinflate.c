@@ -361,3 +361,199 @@ int inflate_raw(const uint8_t *in, size_t in_len, size_t start_bit,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Resumable bounded-memory streaming decoder.
+ *
+ * Mirrors the reference's pull-based engine (inflate.zig:315-336 +
+ * CircularBuffer.zig): decode suspends when the caller's output budget
+ * is exhausted — mid-block, even mid-match — and resumes on the next
+ * call.  History lives in a private 64 KiB ring, so decoded memory is
+ * O(64K) regardless of stream size.  The caller passes the same member
+ * buffer each call (the bit cursor is absolute).
+ *
+ * Return protocol: 0 = final block done (end_bit valid), -2 = output
+ * budget exhausted (call again), >0 = the error taxonomy above. */
+
+#define STREAM_MORE (-2)
+
+typedef struct {
+    uint64_t buf;           /* bit accumulator */
+    int nbits;
+    size_t pos;             /* next input byte */
+    int stage;              /* 0 hdr, 1 stored, 2 coded, 3 done */
+    int bfinal;
+    uint32_t stored_left;
+    uint32_t mlen_left;     /* pending match copy */
+    uint32_t mdist;
+    uint64_t total_hist;    /* bytes in window incl. preset dictionary */
+    size_t end_bit;
+    Tables t;
+    uint8_t win[1 << 16];
+} InfStream;
+
+size_t inflate_stream_state_size(void) { return sizeof(InfStream); }
+
+void inflate_stream_init(InfStream *st, size_t start_bit,
+                         const uint8_t *dict, size_t dict_len) {
+    memset(st, 0, offsetof(InfStream, t));
+    st->pos = start_bit >> 3;
+    st->stage = 0;
+    if (start_bit & 7) {
+        /* defer partial-byte skip to first fill: emulate br_init */
+        st->nbits = -(int)(start_bit & 7);   /* sentinel: skip bits */
+    }
+    if (dict_len > (1 << 15)) {
+        dict += dict_len - (1 << 15);
+        dict_len = 1 << 15;
+    }
+    for (size_t i = 0; i < dict_len; i++)
+        st->win[i] = dict[i];
+    st->total_hist = dict_len;
+}
+
+size_t inflate_stream_end_bit(const InfStream *st) { return st->end_bit; }
+int inflate_stream_done(const InfStream *st) { return st->stage == 3; }
+
+static void st_load(const InfStream *st, const uint8_t *in, size_t in_len,
+                    BitReader *br) {
+    br->in = in;
+    br->in_len = in_len;
+    br->pos = st->pos;
+    br->buf = st->buf;
+    br->nbits = st->nbits;
+    if (br->nbits < 0) {              /* deferred partial-byte skip */
+        int skip = -br->nbits;
+        br->buf = 0;
+        br->nbits = 0;
+        if (br->pos < in_len) {
+            br->buf = (uint64_t)in[br->pos++] >> skip;
+            br->nbits = 8 - skip;
+        }
+    }
+}
+
+static void st_save(InfStream *st, const BitReader *br) {
+    st->buf = br->buf;
+    st->nbits = br->nbits;
+    st->pos = br->pos;
+}
+
+static inline void st_put(InfStream *st, uint8_t *out, size_t *w,
+                          uint8_t b) {
+    out[(*w)++] = b;
+    st->win[st->total_hist & 0xFFFF] = b;
+    st->total_hist++;
+}
+
+int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
+                        uint8_t *out, size_t out_cap,
+                        size_t *out_written) {
+    size_t w = 0;
+    BitReader br;
+    st_load(st, in, in_len, &br);
+    int rc = 0;
+    for (;;) {
+        if (st->stage == 3) { rc = 0; break; }
+        if (st->mlen_left) {                       /* resume match copy */
+            while (st->mlen_left) {
+                if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+                uint8_t b = st->win[(st->total_hist - st->mdist) & 0xFFFF];
+                st_put(st, out, &w, b);
+                st->mlen_left--;
+            }
+        }
+        if (st->stage == 1) {                      /* stored payload */
+            while (st->stored_left) {
+                if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+                if (br.nbits >= 8) {
+                    st_put(st, out, &w, (uint8_t)(br.buf & 0xFF));
+                    br.buf >>= 8;
+                    br.nbits -= 8;
+                } else if (br.pos < br.in_len) {
+                    st_put(st, out, &w, br.in[br.pos++]);
+                } else {
+                    rc = ERR_EOS;
+                    goto done;
+                }
+                st->stored_left--;
+            }
+            st->stage = st->bfinal ? 3 : 0;
+            if (st->stage == 3) { st->end_bit = br_bitpos(&br); }
+            continue;
+        }
+        if (st->stage == 0) {                      /* block header */
+            uint32_t bfinal, btype;
+            if ((rc = br_read(&br, 1, &bfinal))) goto done;
+            if ((rc = br_read(&br, 2, &btype))) goto done;
+            st->bfinal = (int)bfinal;
+            if (btype == 0) {
+                br_align(&br);
+                uint32_t len, nlen;
+                if ((rc = br_read(&br, 16, &len))) goto done;
+                if ((rc = br_read(&br, 16, &nlen))) goto done;
+                if (len != (~nlen & 0xFFFF)) { rc = ERR_NLEN; goto done; }
+                st->stored_left = len;
+                st->stage = 1;
+            } else if (btype == 1) {
+                if ((rc = build_fixed(&st->t))) goto done;
+                st->stage = 2;
+            } else if (btype == 2) {
+                if ((rc = decode_dynamic_header(&br, &st->t))) goto done;
+                st->stage = 2;
+            } else {
+                rc = ERR_BTYPE;
+                goto done;
+            }
+            continue;
+        }
+        /* stage 2: coded block symbol loop */
+        for (;;) {
+            if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+            uint32_t peek = br_peek(&br, 15);
+            uint16_t s = st->t.ll_sym[peek];
+            if (s == TBL_INVALID) { rc = ERR_CODE; goto done; }
+            if ((rc = br_consume(&br, st->t.ll_bit[peek]))) goto done;
+            if (s < 256) {
+                st_put(st, out, &w, (uint8_t)s);
+            } else if (s == 256) {
+                st->stage = st->bfinal ? 3 : 0;
+                if (st->stage == 3) st->end_bit = br_bitpos(&br);
+                break;
+            } else {
+                int li = s - 257;
+                uint32_t extra;
+                if (li > 28) { rc = ERR_CODE; goto done; }
+                if ((rc = br_read(&br, LEXTRA[li], &extra))) goto done;
+                uint32_t length = LBASE[li] + extra;
+                peek = br_peek(&br, 15);
+                uint16_t ds = st->t.d_sym[peek];
+                if (ds == TBL_INVALID) { rc = ERR_CODE; goto done; }
+                if ((rc = br_consume(&br, st->t.d_bit[peek]))) goto done;
+                if (ds > 29) { rc = ERR_CODE; goto done; }
+                if ((rc = br_read(&br, DEXTRA[ds], &extra))) goto done;
+                uint32_t dist = DBASE[ds] + extra;
+                if (dist > st->total_hist) { rc = ERR_MATCH; goto done; }
+                st->mdist = dist;
+                st->mlen_left = length;
+                while (st->mlen_left) {
+                    if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+                    uint8_t b =
+                        st->win[(st->total_hist - st->mdist) & 0xFFFF];
+                    st_put(st, out, &w, b);
+                    st->mlen_left--;
+                }
+            }
+        }
+    }
+done:
+    st_save(st, &br);
+    *out_written = w;
+    return rc;
+}
+
+/* Rebase the stream's input cursor after the caller drops `delta` bytes
+ * from the front of the member buffer (setReader support). */
+void inflate_stream_rebase(InfStream *st, size_t delta) {
+    st->pos -= delta;
+}
