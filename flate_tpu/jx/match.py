@@ -161,13 +161,21 @@ def _small_dist_runs(window: jnp.ndarray, maxlen: jnp.ndarray,
     best_dist = jnp.zeros((B, W), jnp.int32)
     arange = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    def op(x, y):
-        # run-length of leading ones: (count, all_ones).  Under
-        # reverse=True the SECOND operand is the earlier (lower-index)
-        # element, so the combined count starts from y.
-        cx, fx = x
-        cy, fy = y
-        return cy + jnp.where(fy, cx, 0), fx & fy
+    def run_lengths(eq: jnp.ndarray) -> jnp.ndarray:
+        """cnt[i] = consecutive True starting at i, saturated > 258.
+
+        Static-shift doubling (after round k, cnt = min(run, 2^k):
+        saturated entries extend by the run starting one stride later);
+        leaner HLO than an associative scan and avoids the reverse
+        tuple-carry scan construct that miscompiled on real TPU."""
+        cnt = eq.astype(jnp.int32)
+        step = 1
+        while step <= consts.MAX_MATCH_LEN:
+            shifted = jnp.concatenate(
+                [cnt[:, step:], jnp.zeros((B, step), jnp.int32)], axis=1)
+            cnt = cnt + jnp.where(cnt == step, shifted, 0)
+            step *= 2
+        return cnt
 
     for d in SMALL_DISTS:
         eq = jnp.concatenate([
@@ -175,8 +183,7 @@ def _small_dist_runs(window: jnp.ndarray, maxlen: jnp.ndarray,
             window[:, d:] == window[:, :-d],
         ], axis=1)
         eq = eq & (arange >= (min_src[:, None] + d))
-        cnt, _ = jax.lax.associative_scan(
-            op, (eq.astype(jnp.int32), eq), reverse=True, axis=1)
+        cnt = run_lengths(eq)
         ln = jnp.minimum(jnp.minimum(cnt, consts.MAX_MATCH_LEN), maxlen)
         score_new = (ln << SCORE_SHIFT) - d
         score_old = (best_len << SCORE_SHIFT) - best_dist
@@ -207,18 +214,22 @@ def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
     nxt_d = jnp.concatenate(
         [d2[:, 1:], jnp.zeros((B, 1, cap), d2.dtype)], axis=1)
     chain = (l2 == cap) & (nxt_d == d2) & (d2 > 0)
-    a = jnp.where(chain, cap, l2).astype(jnp.int32)
-    b = chain.astype(jnp.int32)
 
-    def op(x, y):
-        # affine composition L = a + b*L_next; under reverse=True the
-        # second operand is the earlier (lower-index) map, which applies
-        # on the outside: (y after x)(v) = a_y + b_y*(a_x + b_x*v)
-        ax, bx = x
-        ay, by = y
-        return ay + by * ax, bx * by
-
-    total, _ = jax.lax.associative_scan(op, (a, b), reverse=True, axis=1)
+    # Bounded fixed-point instead of an associative scan: a composed
+    # chain only matters up to MAX_MATCH_LEN total, i.e. at most
+    # ceil(258/cap) links, so ceil+1 rounds of "if chained, cap + next"
+    # converge exactly (values are clamped so deeper chains saturate).
+    # (A reverse affine associative_scan here miscomputed on real TPU
+    # hardware at (B, 10240, 16) shapes — lane-roll iteration avoids the
+    # construct entirely and compiles leaner.)
+    rounds = -(-consts.MAX_MATCH_LEN // cap) + 1
+    zero_tail = jnp.zeros((B, 1, cap), jnp.int32)
+    total = l2.astype(jnp.int32)
+    for _ in range(rounds):
+        nxt = jnp.concatenate([total[:, 1:], zero_tail], axis=1)
+        total = jnp.where(chain,
+                          jnp.minimum(cap + nxt, 2 * consts.MAX_MATCH_LEN),
+                          l2)
     out = jnp.minimum(total.reshape(B, -1)[:, :W], consts.MAX_MATCH_LEN)
     return jnp.minimum(out, maxlen)
 
