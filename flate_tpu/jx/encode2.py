@@ -26,6 +26,7 @@ from .. import consts, tables
 from . import encode as enc
 from . import header as hdr
 from . import huff
+from . import onehot
 
 MAX_STORED = consts.MAX_STORED_BLOCK            # 65535
 
@@ -82,25 +83,15 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     llsym = jnp.where(tok_start, llsym, 0)
     dsym = jnp.where(is_m, dcode, 0)
 
-    # ---- histograms (scatter-add over the batch; small tables) ----
-    base_ll = (jnp.arange(B, dtype=jnp.int32) * consts.NUM_LITLEN)[:, None]
-    idx_ll = (base_ll + jnp.where(tok_start, llsym, consts.END_OF_BLOCK)
-              ).reshape(-1)
-    hll = jnp.zeros(B * consts.NUM_LITLEN, jnp.int32).at[idx_ll].add(
-        tok_start.reshape(-1).astype(jnp.int32)
-    ).reshape(B, consts.NUM_LITLEN)
+    # ---- histograms (one-hot MXU matmuls; scatter-add scalarizes) ----
+    hll = onehot.hist_onehot(jnp.where(tok_start, llsym, 0), tok_start,
+                             consts.NUM_LITLEN)
     hll = hll.at[:, consts.END_OF_BLOCK].add(1)
-    base_d = (jnp.arange(B, dtype=jnp.int32) * consts.NUM_DIST)[:, None]
-    idx_d = (base_d + dsym).reshape(-1)
-    hdd = jnp.zeros(B * consts.NUM_DIST, jnp.int32).at[idx_d].add(
-        is_m.reshape(-1).astype(jnp.int32)).reshape(B, consts.NUM_DIST)
+    hdd = onehot.hist_onehot(dsym, is_m, consts.NUM_DIST)
     # byte histogram for the literal-only alternative
-    base_b = (jnp.arange(B, dtype=jnp.int32) * consts.NUM_LITLEN)[:, None]
-    idx_b = (base_b + jnp.where(live_pos, window_tail.astype(jnp.int32),
-                                consts.END_OF_BLOCK)).reshape(-1)
-    hbyte = jnp.zeros(B * consts.NUM_LITLEN, jnp.int32).at[idx_b].add(
-        live_pos.reshape(-1).astype(jnp.int32)
-    ).reshape(B, consts.NUM_LITLEN)
+    hbyte = onehot.hist_onehot(
+        jnp.where(live_pos, window_tail.astype(jnp.int32), 0), live_pos,
+        consts.NUM_LITLEN)
     hbyte = hbyte.at[:, consts.END_OF_BLOCK].add(1)
 
     # ---- code construction (device package-merge) ----
@@ -170,8 +161,8 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     hb = jnp.where(k_fix, fix_hb, jnp.where(k_sto, sto_hb, hb))
 
     # ---- body fields (2 per position) ----
-    lle = jnp.take_along_axis(ll_tab, jnp.where(tok_start, llsym, 0), axis=1)
-    dde = jnp.take_along_axis(d_tab, dsym, axis=1)
+    lle = onehot.lookup_onehot(ll_tab, jnp.where(tok_start, llsym, 0))
+    dde = onehot.lookup_onehot(d_tab, dsym)
     llc, llb = lle & 0xFFFFFF, (lle >> 24).astype(jnp.int32)
     ddc, ddb = dde & 0xFFFFFF, (dde >> 24).astype(jnp.int32)
     # field a: litlen code + length extra (code low, extra high: LSB first)
@@ -183,7 +174,7 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
         is_m, ddc | (dev.astype(jnp.uint32) << ddb.astype(jnp.uint32)), 0)
     fb_tok_b = jnp.where(is_m, ddb + deb, 0)
     # literal-only: every live byte coded with the selected table
-    lit_e = jnp.take_along_axis(ll_tab, window_tail.astype(jnp.int32), axis=1)
+    lit_e = onehot.lookup_onehot(ll_tab, window_tail.astype(jnp.int32))
     fa_lit_v = lit_e & 0xFFFFFF
     fa_lit_b = jnp.where(live_pos, (lit_e >> 24).astype(jnp.int32), 0)
     # stored: raw bytes

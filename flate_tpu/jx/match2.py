@@ -173,12 +173,16 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     pos = jnp.broadcast_to(
         jnp.arange(W, dtype=jnp.uint32)[None, :], (B, W))
     key = (h << POS_BITS) | pos
-    skey = jnp.sort(key, axis=1)
-    spos = (skey & POS_MASK).astype(jnp.int32)
 
-    words = _pack_words(window, nw)
-    swords = jnp.take_along_axis(words, spos[:, :, None], axis=1)
-    swords = jnp.transpose(swords, (0, 2, 1))          # (B, nw, W)
+    # carried-operand sort: the window words ride along with the keys so
+    # no post-sort gather is needed (take_along_axis scalarizes on TPU)
+    words = _pack_words(window, nw)                    # (B, W, nw)
+    sorted_ops = jax.lax.sort(
+        [key] + [words[:, :, t] for t in range(nw)],
+        dimension=1, num_keys=1)
+    skey = sorted_ops[0]
+    spos = (skey & POS_MASK).astype(jnp.int32)
+    swords = jnp.stack(sorted_ops[1:], axis=1)         # (B, nw, W)
 
     pad_tail = Wp - W
     # halo padding: sentinel keys decode to pos 0x3FFFF -> dist < 0 ->
@@ -199,11 +203,10 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     best = _run_matcher(skey_t, swords_t, meta, K, nw,
                         interpret=interpret)[:, :W]
 
-    # unsort: scatter best back to position order (flattened)
-    base = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]
-    flat = (base + spos).reshape(-1)
-    ld = jnp.zeros(B * W, jnp.uint32).at[flat].set(
-        best.reshape(-1)).reshape(B, W)
+    # unsort: spos is a permutation of [0, W); sorting by it carries the
+    # results back to position order without a scatter
+    _, ld = jax.lax.sort([spos.astype(jnp.uint32), best],
+                         dimension=1, num_keys=1)
     mlen = (ld >> 16).astype(jnp.int32)
     mdist = (ld & 0xFFFF).astype(jnp.int32)
 

@@ -49,7 +49,7 @@ LEVEL_KERNEL = {
 
 def _nwr(S: int) -> int:
     worst_bits = 8 * S + 40 * (S // consts.MAX_STORED_BLOCK + 2) + 64
-    return -(-worst_bits // (32 * 128)) + 2
+    return -(-worst_bits // (32 * 128)) + pk.WIN // 128
 
 
 def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
