@@ -54,7 +54,7 @@ def _pack_kernel(v0_ref, v1_ref, wr_ref, row0_ref, out_ref):
                     | (ti[3:4, :] << 24)).astype(jnp.uint32)
         wrows = WIN // 128
         w2 = word_row.reshape(wrows, 128)
-        r0 = row0_ref[0, g]
+        r0 = row0_ref[0, 0, g]
         cur = out_ref[0, pl.ds(r0, wrows), :]
         out_ref[0, pl.ds(r0, wrows), :] = cur + w2
         return 0
@@ -109,12 +109,12 @@ def pack_fields(vals: jnp.ndarray, bits: jnp.ndarray, nwr: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, GRP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, nwr, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nwr, 128), jnp.uint32),
         interpret=interpret,
-    )(v0, v1, wr, row0)
+    )(v0, v1, wr, row0[:, None, :])
     return words[:, :nwr_out, :], total_bits

@@ -107,6 +107,103 @@ def _parse_walk_pallas(step: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     return (out > 0).reshape(B, N)
 
 
+# ---------------------------------------------------------------------------
+# Block-local parallel parse — the production path.
+#
+# DEFLATE permits any valid tokenization, so the parse is made
+# embarrassingly parallel by truncating matches at fixed block
+# boundaries (one possibly-shortened token per block, ~0.1% size cost):
+# with no token spanning a boundary, every block's walk is independent
+# and runs as a vector lane.  Literal runs are skipped in one hop via a
+# precomputed run-length table, so iterations ~ tokens-after-skipping,
+# not positions.  Replaces the serial Pallas walk (~150 ms per 4 MiB)
+# with ~10 ms of pure VPU work.
+# ---------------------------------------------------------------------------
+
+PARSE_BLK = 1024
+
+
+def _runs_of_ones(x: jnp.ndarray, limit: int) -> jnp.ndarray:
+    """cnt[i] = consecutive True starting at i (row-local, saturating)."""
+    L, W = x.shape
+    cnt = x.astype(jnp.int32)
+    step = 1
+    while step < limit:
+        shifted = jnp.concatenate(
+            [cnt[:, step:], jnp.zeros((L, step), jnp.int32)], axis=1)
+        cnt = cnt + jnp.where(cnt == step, shifted, 0)
+        step *= 2
+    return cnt
+
+
+@functools.partial(jax.jit, static_argnames=("start", "lazy", "max_lazy",
+                                             "blk"))
+def parse_blocks(mlen: jnp.ndarray, mdist: jnp.ndarray, start: int = 0, *,
+                 lazy: bool = True, max_lazy: int = 32,
+                 blk: int = PARSE_BLK) -> jnp.ndarray:
+    """Token-start mask via block-local parallel walks; (B, W) -> (B, W).
+
+    Matches are pre-truncated so none crosses a `blk` boundary past
+    `start`; the caller must emit tokens with the same truncation rule
+    (see truncate_matches)."""
+    B, W = mlen.shape
+    S = W - start
+    assert S % blk == 0, "shard region must divide into parse blocks"
+    # matches must already be truncated (truncate_matches) — idempotent,
+    # so apply defensively here; XLA CSEs the duplicate when fused.
+    mlen, mdist = truncate_matches(mlen, mdist, start, blk)
+    take, step = decide(mlen, mdist, lazy, max_lazy)
+    sub = step[:, start:].astype(jnp.int32)
+    NB = S // blk
+    L = B * NB
+    sb = sub.reshape(L, blk)
+    run1 = _runs_of_ones(sb == 1, blk)
+    iota = jnp.arange(blk, dtype=jnp.int32)[None, :]
+
+    def cond(state):
+        cur, visited = state
+        return jnp.any(cur < blk)
+
+    def body(state):
+        cur, visited = state
+        oh = iota == cur[:, None]
+        s = jnp.sum(jnp.where(oh, sb, 0), axis=1)
+        r = jnp.sum(jnp.where(oh, run1, 0), axis=1)
+        islit = s == 1
+        span = jnp.where(islit, r, 1)
+        lo = cur[:, None]
+        hi = (cur + span)[:, None]
+        visited = visited | ((iota >= lo) & (iota < hi))
+        adv = jnp.where(islit, r, jnp.maximum(s, 1))
+        cur = jnp.where(cur < blk, cur + adv, cur)
+        return cur, visited
+
+    cur0 = jnp.zeros((L,), jnp.int32)
+    vis0 = jnp.zeros((L, blk), jnp.bool_)
+    _, visited = jax.lax.while_loop(cond, body, (cur0, vis0))
+    starts_sub = visited.reshape(B, S)
+    pad = jnp.zeros((B, start), jnp.bool_)
+    return jnp.concatenate([pad, starts_sub], axis=1)
+
+
+def truncate_matches(mlen: jnp.ndarray, mdist: jnp.ndarray, start: int,
+                     blk: int = PARSE_BLK
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamp match lengths so no match crosses a parse-block boundary.
+
+    Boundaries sit at start + k*blk.  Lengths shrinking below the
+    minimum become literals.  Must be applied before BOTH the parse and
+    the field build so emitted tokens agree with the walk."""
+    B, W = mlen.shape
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    rel = pos - start
+    room = jnp.where(rel >= 0, blk - (rel % blk), jnp.int32(1 << 20))
+    t = jnp.minimum(mlen, room)
+    keep = t >= consts.MIN_MATCH_LEN
+    return (jnp.where(keep, t, 0),
+            jnp.where(keep, mdist, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("start", "lazy", "max_lazy",
                                              "interpret"))
 def parse_walk(mlen: jnp.ndarray, mdist: jnp.ndarray, start: int = 0, *,

@@ -64,13 +64,10 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
     mlen, mdist = match2.find_matches_fused(
         windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
         interpret=interpret)
+    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
-    if jax.default_backend() == "cpu" and not interpret:
-        starts = prs.parse_doubling(mlen, mdist, start=ctx, lazy=lazy,
-                                    max_lazy=max_lazy)
-    else:
-        starts = prs.parse_walk(mlen, mdist, start=ctx, lazy=lazy,
-                                max_lazy=max_lazy, interpret=interpret)
+    starts = prs.parse_blocks(mlen, mdist, start=ctx, lazy=lazy,
+                              max_lazy=max_lazy)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
         take[:, ctx:], valid_lens, finals, S)
@@ -108,14 +105,14 @@ def _prime_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
                                              "interpret"))
 def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
                  max_lazy: int, ctx: int, interpret: bool = False):
+    """Truncate matches to parse blocks, decide, walk.  Returns the
+    truncated (mlen, mdist) — the field build must use them so emitted
+    tokens agree with the walk."""
+    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
-    if jax.default_backend() == "cpu" and not interpret:
-        starts = prs.parse_doubling(mlen, mdist, start=ctx, lazy=lazy,
-                                    max_lazy=max_lazy)
-    else:
-        starts = prs.parse_walk(mlen, mdist, start=ctx, lazy=lazy,
-                                max_lazy=max_lazy, interpret=interpret)
-    return take, starts
+    starts = prs.parse_blocks(mlen, mdist, start=ctx, lazy=lazy,
+                              max_lazy=max_lazy)
+    return take, starts, mlen, mdist
 
 
 def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
@@ -133,8 +130,9 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
     mlen, mdist = match2.find_matches_fused(
         windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
         interpret=interpret)
-    take, starts = _parse_stage(mlen, mdist, lazy=lazy, max_lazy=max_lazy,
-                                ctx=ctx, interpret=interpret)
+    take, starts, mlen, mdist = _parse_stage(
+        mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx,
+        interpret=interpret)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
         take[:, ctx:], valid_lens, finals, S)
