@@ -161,30 +161,27 @@ def _small_dist_runs(window: jnp.ndarray, maxlen: jnp.ndarray,
     best_dist = jnp.zeros((B, W), jnp.int32)
     arange = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    def run_lengths(eq: jnp.ndarray) -> jnp.ndarray:
-        """cnt[i] = consecutive True starting at i, saturated > 258.
-
-        Static-shift doubling (after round k, cnt = min(run, 2^k):
-        saturated entries extend by the run starting one stride later);
-        leaner HLO than an associative scan and avoids the reverse
-        tuple-carry scan construct that miscompiled on real TPU."""
-        cnt = eq.astype(jnp.int32)
-        step = 1
-        while step <= consts.MAX_MATCH_LEN:
-            shifted = jnp.concatenate(
-                [cnt[:, step:], jnp.zeros((B, step), jnp.int32)], axis=1)
-            cnt = cnt + jnp.where(cnt == step, shifted, 0)
-            step *= 2
-        return cnt
-
+    # all distances batched into one (D*B, W) run-length doubling pass —
+    # one set of 9 saturating rounds instead of one per distance
+    eqs = []
     for d in SMALL_DISTS:
         eq = jnp.concatenate([
             jnp.zeros((B, d), jnp.bool_),
             window[:, d:] == window[:, :-d],
         ], axis=1)
-        eq = eq & (arange >= (min_src[:, None] + d))
-        cnt = run_lengths(eq)
-        ln = jnp.minimum(jnp.minimum(cnt, consts.MAX_MATCH_LEN), maxlen)
+        eqs.append(eq & (arange >= (min_src[:, None] + d)))
+    cnt = jnp.concatenate(eqs, axis=0).astype(jnp.int32)   # (D*B, W)
+    step = 1
+    while step <= consts.MAX_MATCH_LEN:
+        shifted = jnp.concatenate(
+            [cnt[:, step:],
+             jnp.zeros((cnt.shape[0], step), jnp.int32)], axis=1)
+        cnt = cnt + jnp.where(cnt == step, shifted, 0)
+        step *= 2
+
+    for j, d in enumerate(SMALL_DISTS):
+        ln = jnp.minimum(jnp.minimum(cnt[j * B:(j + 1) * B],
+                                     consts.MAX_MATCH_LEN), maxlen)
         score_new = (ln << SCORE_SHIFT) - d
         score_old = (best_len << SCORE_SHIFT) - best_dist
         upd = (ln >= consts.MIN_MATCH_LEN) & \
@@ -209,10 +206,13 @@ def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
         mdist = jnp.concatenate(
             [mdist, jnp.zeros((B, pad), mdist.dtype)], axis=1)
     rows = mlen.shape[1] // cap
-    l2 = mlen.reshape(B, rows, cap)
-    d2 = mdist.reshape(B, rows, cap)
+    # lane-friendly layout: (B, cap, rows) keeps the long axis minor so
+    # the per-round shifts run on full 128-lane registers (the (rows,
+    # cap) layout wastes 8x on a 16-wide minor dim)
+    l2 = jnp.transpose(mlen.reshape(B, rows, cap), (0, 2, 1))
+    d2 = jnp.transpose(mdist.reshape(B, rows, cap), (0, 2, 1))
     nxt_d = jnp.concatenate(
-        [d2[:, 1:], jnp.zeros((B, 1, cap), d2.dtype)], axis=1)
+        [d2[:, :, 1:], jnp.zeros((B, cap, 1), d2.dtype)], axis=2)
     chain = (l2 == cap) & (nxt_d == d2) & (d2 > 0)
 
     # Bounded fixed-point instead of an associative scan: a composed
@@ -220,17 +220,18 @@ def _extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
     # ceil(258/cap) links, so ceil+1 rounds of "if chained, cap + next"
     # converge exactly (values are clamped so deeper chains saturate).
     # (A reverse affine associative_scan here miscomputed on real TPU
-    # hardware at (B, 10240, 16) shapes — lane-roll iteration avoids the
-    # construct entirely and compiles leaner.)
+    # hardware at production shapes — the iteration avoids the construct
+    # entirely and compiles leaner.)
     rounds = -(-consts.MAX_MATCH_LEN // cap) + 1
-    zero_tail = jnp.zeros((B, 1, cap), jnp.int32)
+    zero_tail = jnp.zeros((B, cap, 1), jnp.int32)
     total = l2.astype(jnp.int32)
     for _ in range(rounds):
-        nxt = jnp.concatenate([total[:, 1:], zero_tail], axis=1)
+        nxt = jnp.concatenate([total[:, :, 1:], zero_tail], axis=2)
         total = jnp.where(chain,
                           jnp.minimum(cap + nxt, 2 * consts.MAX_MATCH_LEN),
                           l2)
-    out = jnp.minimum(total.reshape(B, -1)[:, :W], consts.MAX_MATCH_LEN)
+    out = jnp.transpose(total, (0, 2, 1)).reshape(B, -1)[:, :W]
+    out = jnp.minimum(out, consts.MAX_MATCH_LEN)
     return jnp.minimum(out, maxlen)
 
 
