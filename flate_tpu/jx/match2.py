@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import consts
 from . import match as mtc
+from . import runs
 
 TILE = 8192
 KPAD = 256                       # supports K up to 256
@@ -210,13 +211,11 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     mlen = (ld >> 16).astype(jnp.int32)
     mdist = (ld & 0xFFFF).astype(jnp.int32)
 
-    # small-distance exact runs (uncapped lengths)
-    pos_i = jnp.arange(W, dtype=jnp.int32)[None, :]
-    maxlen = jnp.clip(
-        (ctx + valid_len).astype(jnp.int32)[:, None] - pos_i,
-        0, consts.MAX_MATCH_LEN)
+    # small-distance exact runs (uncapped lengths) — VMEM Pallas kernel
+    limit = (ctx + valid_len).astype(jnp.int32)
     min_src = (ctx - ctx_len).astype(jnp.int32)
-    rlen, rdist = mtc._small_dist_runs(window, maxlen, min_src)
+    rlen, rdist = runs.small_dist_runs(window, limit, min_src,
+                                       interpret=interpret)
     # sources must also stay inside the valid region for tail shards:
     # _small_dist_runs guarantees src = pos - d >= min_src + d only; the
     # equality chain construction already confines runs to real bytes
@@ -231,7 +230,8 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     mdist = jnp.where(upd, rdist, mdist)
 
     # same-distance continuation chains extend past the carry cap
-    mlen = mtc._extend_chains(mlen, mdist, maxlen, cap=4 * nw)
+    mlen = runs.extend_chains(mlen, mdist, limit, cap=4 * nw,
+                              interpret=interpret)
 
     drop = (mlen == consts.MIN_MATCH_LEN) & (mdist > 4096)
     mlen = jnp.where(drop, 0, mlen)
