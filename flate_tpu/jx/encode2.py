@@ -53,6 +53,15 @@ def slot_count(S: int) -> int:
     return -(-raw // 512) * 512
 
 
+def slot_count_compact(S: int) -> int:
+    """Post-compaction bound: at most one live body field per position
+    (every token start emits fa; fb is live only for matches, which
+    consume >= 3 positions each, so fa+fb live counts stay <= S)."""
+    n_mid = (S - 1) // MAX_STORED
+    raw = hdr.HDR_SLOTS + S + 2 * n_mid + 4
+    return -(-raw // 512) * 512
+
+
 @functools.partial(jax.jit, static_argnames=("S",))
 def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
                  mdist: jnp.ndarray, starts: jnp.ndarray,
@@ -248,4 +257,14 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
         + jnp.sum(trail_b, axis=1)
     # dead fields must carry zero values — the packer ORs values verbatim
     vals = jnp.where(bits > 0, vals, 0)
-    return vals, bits, total_bits, kind
+
+    # compact live fields to the front via a stable carried sort so the
+    # packer sees half the slots (live body fields are <= 1/position);
+    # dead fields keep zero width, so the packed stream is unchanged
+    idx = jnp.broadcast_to(
+        jnp.arange(SLOTS, dtype=jnp.uint32)[None, :], (B, SLOTS))
+    keys = jnp.where(bits > 0, idx, idx + jnp.uint32(1 << 20))
+    _, vals_c, bits_c = jax.lax.sort(
+        [keys, vals, bits], dimension=1, num_keys=1)
+    SC = slot_count_compact(S)
+    return vals_c[:, :SC], bits_c[:, :SC], total_bits, kind

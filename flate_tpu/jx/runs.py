@@ -47,9 +47,9 @@ def _sat_runs(eq: jnp.ndarray, limit: int) -> jnp.ndarray:
 def _small_runs_kernel(win_ref, meta_ref, len_ref, dist_ref):
     w = win_ref[0, 0, :, :].astype(jnp.int32)          # (1, LH + TILE + HALO)
     L = w.shape[1]
-    min_src = meta_ref[0, 0, 0]
-    limit = meta_ref[0, 0, 1]
-    tbase = meta_ref[0, 0, 2]                          # tile origin position
+    min_src = meta_ref[0, 0, 0, 0]
+    limit = meta_ref[0, 0, 0, 1]
+    tbase = meta_ref[0, 0, 0, 2]                          # tile origin position
     # lane i holds window position tbase - LH + i
     pos = (tbase - LH) + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     maxlen = jnp.clip(limit - pos, 0, consts.MAX_MATCH_LEN)
@@ -93,7 +93,7 @@ def small_dist_runs(window: jnp.ndarray, limit: jnp.ndarray,
         jnp.broadcast_to(limit[:, None], (B, T)),
         jnp.broadcast_to(tb[None, :], (B, T)),
         jnp.zeros((B, T), jnp.int32),
-    ], axis=2)                                         # (B, T, 4)
+    ], axis=2)[:, :, None, :]                          # (B, T, 1, 4)
 
     L = LH + TILE + HALO
     blen, bdist = pl.pallas_call(
@@ -102,7 +102,7 @@ def small_dist_runs(window: jnp.ndarray, limit: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, 1, L), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -123,8 +123,8 @@ def small_dist_runs(window: jnp.ndarray, limit: jnp.ndarray,
 def _extend_kernel(cap: int, len_ref, dist_ref, meta_ref, out_ref):
     l = len_ref[0, 0, :, :]                            # (1, L)
     d = dist_ref[0, 0, :, :]
-    limit = meta_ref[0, 0, 0]
-    tbase = meta_ref[0, 0, 1]
+    limit = meta_ref[0, 0, 0, 0]
+    tbase = meta_ref[0, 0, 0, 1]
     L = l.shape[1]
     pos = tbase + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     maxlen = jnp.clip(limit - pos, 0, consts.MAX_MATCH_LEN)
@@ -165,7 +165,7 @@ def extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
         jnp.broadcast_to(tb[None, :], (B, T)),
         jnp.zeros((B, T), jnp.int32),
         jnp.zeros((B, T), jnp.int32),
-    ], axis=2)
+    ], axis=2)[:, :, None, :]                          # (B, T, 1, 4)
 
     L = TILE + HALO
     out = pl.pallas_call(
@@ -176,7 +176,7 @@ def extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, L), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
