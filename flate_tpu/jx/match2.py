@@ -68,6 +68,7 @@ def _matcher_kernel(K: int, nw: int,
     tw = [swords_ref[0, 0, t:t + 1, KPAD:] for t in range(nw)]
     min_src = meta_ref[0, 0, 0]
     limit = meta_ref[0, 0, 1]
+    max_dist = meta_ref[0, 0, 2]
     maxlen = jnp.minimum(consts.MAX_MATCH_LEN, limit - tpos)
 
     def body(_, carry):
@@ -78,7 +79,7 @@ def _matcher_kernel(K: int, nw: int,
         cpos = (ck & POS_MASK).astype(jnp.int32)
         dist = tpos - cpos
         valid = ((ck >> POS_BITS) == tbucket) & (dist >= 1) \
-            & (dist <= consts.MAX_DISTANCE) & (cpos >= min_src) \
+            & (dist <= max_dist) & (cpos >= min_src) \
             & (cpos < limit)
         ml = jnp.zeros_like(tpos)
         run = (tkey == tkey)                           # all-true bool
@@ -152,20 +153,10 @@ def _halo_tiles(arr: jnp.ndarray, T: int) -> jnp.ndarray:
     return jnp.concatenate(tiles, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "nw", "hash_bytes", "ctx",
-                                             "interpret"))
-def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
-                       valid_len: jnp.ndarray, *, K: int, nw: int = 4,
-                       hash_bytes: int = 4, ctx: int = mtc.CTX,
-                       interpret: bool = False
-                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Best (len, dist) per window position via the fused kernel.
-
-    window: (B, W) uint8 = [ctx | shard] rows; ctx_len: valid context
-    bytes per row; valid_len: real shard bytes per row (tail shards are
-    zero-padded — positions beyond ctx+valid_len neither match nor serve
-    as sources).  Returns (mlen, mdist) (B, W) int32.
-    """
+def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
+                    hash_bytes: int, max_dist: int, interpret: bool):
+    """One hash-bucket candidate scan: hash -> carried sort -> kernel ->
+    unsort.  Returns best (len << 16 | dist) u32 per position."""
     B, W = window.shape
     T = -(-W // TILE)
     Wp = T * TILE
@@ -178,6 +169,12 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     # carried-operand sort: the window words ride along with the keys so
     # no post-sort gather is needed (take_along_axis scalarizes on TPU)
     words = _pack_words(window, nw)                    # (B, W, nw)
+    if hash_bytes < 4:
+        # mask the trailing bytes so the equality scan can't credit
+        # bytes beyond the hashed prefix
+        mask = jnp.uint32((1 << (8 * hash_bytes)) - 1)
+        words = jnp.concatenate(
+            [words[:, :, :1] & mask, words[:, :, 1:]], axis=2)
     sorted_ops = jax.lax.sort(
         [key] + [words[:, :, t] for t in range(nw)],
         dimension=1, num_keys=1)
@@ -193,9 +190,8 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
                        constant_values=np.uint32(0xFFFFFFFF))
     swords_pad = jnp.pad(swords, ((0, 0), (0, 0), (KPAD, pad_tail)))
     meta = jnp.stack([
-        (ctx - ctx_len).astype(jnp.int32),
-        (ctx + valid_len).astype(jnp.int32),
-        jnp.zeros((B,), jnp.int32),
+        min_src_a, limit_a,
+        jnp.full((B,), max_dist, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     ], axis=1)
 
@@ -208,8 +204,48 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     # results back to position order without a scatter
     _, ld = jax.lax.sort([spos.astype(jnp.uint32), best],
                          dimension=1, num_keys=1)
+    return ld
+
+
+@functools.partial(jax.jit, static_argnames=("K", "nw", "hash_bytes", "ctx",
+                                             "K3", "interpret"))
+def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
+                       valid_len: jnp.ndarray, *, K: int, nw: int = 4,
+                       hash_bytes: int = 4, ctx: int = mtc.CTX,
+                       K3: int = 0, interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (len, dist) per window position via the fused kernel.
+
+    window: (B, W) uint8 = [ctx | shard] rows; ctx_len: valid context
+    bytes per row; valid_len: real shard bytes per row (tail shards are
+    zero-padded — positions beyond ctx+valid_len neither match nor serve
+    as sources).  K3 > 0 adds a 3-byte-hash pass (K3 candidates, dist
+    <= 4096 — deflate's too-far economy for short matches) like the
+    reference's min-length chain entries.  Returns (mlen, mdist) int32.
+    """
+    B, W = window.shape
+    min_src_a = (ctx - ctx_len).astype(jnp.int32)
+    limit_a = (ctx + valid_len).astype(jnp.int32)
+
+    ld = _candidate_pass(window, min_src_a, limit_a, K=K, nw=nw,
+                         hash_bytes=4, max_dist=consts.MAX_DISTANCE,
+                         interpret=interpret)
     mlen = (ld >> 16).astype(jnp.int32)
     mdist = (ld & 0xFFFF).astype(jnp.int32)
+
+    if K3 > 0:
+        ld3 = _candidate_pass(window, min_src_a, limit_a, K=K3, nw=1,
+                              hash_bytes=3, max_dist=4096,
+                              interpret=interpret)
+        l3 = jnp.minimum((ld3 >> 16).astype(jnp.int32), 3)
+        d3 = (ld3 & 0xFFFF).astype(jnp.int32)
+        s_main = jnp.where(mlen >= consts.MIN_MATCH_LEN,
+                           (mlen << mtc.SCORE_SHIFT) - mdist, -1)
+        s3 = jnp.where(l3 >= consts.MIN_MATCH_LEN,
+                       (l3 << mtc.SCORE_SHIFT) - d3, -1)
+        upd3 = s3 > s_main
+        mlen = jnp.where(upd3, l3, mlen)
+        mdist = jnp.where(upd3, d3, mdist)
 
     # small-distance exact runs (uncapped lengths) — VMEM Pallas kernel
     limit = (ctx + valid_len).astype(jnp.int32)

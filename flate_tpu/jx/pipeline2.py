@@ -33,17 +33,18 @@ from . import pack as pk
 
 CTX = consts.MAX_DISTANCE
 
-# kernel-path level knobs: (K candidates, carried words, lazy, max_lazy)
+# kernel-path level knobs:
+# (K candidates, carried words, lazy, max_lazy, K3 3-byte candidates)
 LEVEL_KERNEL = {
-    1: (4, 2, False, 0),
-    2: (8, 2, False, 0),
-    3: (12, 4, False, 0),
-    4: (16, 4, True, 4),
-    5: (24, 4, True, 16),
-    6: (48, 4, True, 32),
-    7: (64, 8, True, 64),
-    8: (96, 8, True, 128),
-    9: (160, 8, True, 258),
+    1: (4, 2, False, 0, 0),
+    2: (8, 2, False, 0, 0),
+    3: (12, 4, False, 0, 4),
+    4: (16, 4, True, 4, 4),
+    5: (24, 4, True, 16, 8),
+    6: (48, 4, True, 32, 8),
+    7: (64, 8, True, 64, 8),
+    8: (96, 8, True, 128, 12),
+    9: (160, 8, True, 258, 16),
 }
 
 
@@ -55,14 +56,14 @@ def _nwr(S: int) -> int:
 def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
                 valid_lens: jnp.ndarray, finals: jnp.ndarray, *, S: int,
                 ctx: int, K: int, nw: int, lazy: bool, max_lazy: int,
-                interpret: bool = False):
+                K3: int = 0, interpret: bool = False):
     """(B, ctx+S) primed windows -> (words, tbits, kind).
 
     The traceable heart of the v2 pipeline, shared by the single-device
     jit wrapper and the shard_map mesh path (which primes windows with a
     ppermute context exchange instead of a batch roll)."""
     mlen, mdist = match2.find_matches_fused(
-        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
+        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx, K3=K3,
         interpret=interpret)
     mlen, mdist = prs.truncate_matches(mlen, mdist, ctx)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
@@ -77,11 +78,12 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "ctx", "K", "nw", "lazy",
-                                    "max_lazy", "interpret"))
+                                    "max_lazy", "K3", "interpret"))
 def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
                  ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
                  finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
-                 lazy: bool, max_lazy: int, interpret: bool = False):
+                 lazy: bool, max_lazy: int, K3: int = 0,
+                 interpret: bool = False):
     """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
     # context priming: row b takes row b-1's tail on device; row 0 takes
     # the host-provided carry
@@ -89,7 +91,7 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
     prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
     windows = jnp.concatenate([prev, shards], axis=1)
     return encode_core(windows, ctx_lens, valid_lens, finals, S=S, ctx=ctx,
-                       K=K, nw=nw, lazy=lazy, max_lazy=max_lazy,
+                       K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
                        interpret=interpret)
 
 
@@ -117,7 +119,8 @@ def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
 
 def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
                         S: int, ctx: int, K: int, nw: int, lazy: bool,
-                        max_lazy: int, interpret: bool = False):
+                        max_lazy: int, K3: int = 0,
+                        interpret: bool = False):
     """Stage-jitted twin of encode_batch.
 
     Same math as the single-jit path, but each stage is its own jitted
@@ -128,7 +131,7 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
     device; the host never blocks between stages."""
     windows = _prime_windows(shards, ctx0, ctx=ctx)
     mlen, mdist = match2.find_matches_fused(
-        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx,
+        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx, K3=K3,
         interpret=interpret)
     take, starts, mlen, mdist = _parse_stage(
         mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx,
@@ -177,7 +180,7 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
     gzip tools ignore the subfield (RFC 1952 §2.3.1.1)."""
     if level not in LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
-    K, nw, lazy, max_lazy = LEVEL_KERNEL[level]
+    K, nw, lazy, max_lazy, K3 = LEVEL_KERNEL[level]
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     S = shard_len
@@ -213,7 +216,7 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
             jnp.asarray(shards_np), jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
-            max_lazy=max_lazy, interpret=interpret)
+            max_lazy=max_lazy, K3=K3, interpret=interpret)
         return nb, words, tbits
 
     fetch = _Fetcher()
