@@ -120,7 +120,9 @@ def _parse_walk_pallas(step: jnp.ndarray, interpret: bool) -> jnp.ndarray:
 # with ~10 ms of pure VPU work.
 # ---------------------------------------------------------------------------
 
-PARSE_BLK = 1024
+import os
+
+PARSE_BLK = int(os.environ.get("FLATE_TPU_PARSE_BLK", "1024"))
 
 
 def _runs_of_ones(x: jnp.ndarray, limit: int) -> jnp.ndarray:

@@ -40,11 +40,11 @@ LEVEL_KERNEL = {
     2: (8, 2, False, 0, 0),
     3: (12, 4, False, 0, 4),
     4: (16, 4, True, 4, 4),
-    5: (24, 4, True, 16, 8),
-    6: (48, 4, True, 32, 8),
-    7: (64, 8, True, 64, 8),
-    8: (96, 8, True, 128, 12),
-    9: (160, 8, True, 258, 16),
+    5: (24, 8, True, 16, 8),
+    6: (48, 8, True, 32, 8),
+    7: (64, 16, True, 64, 8),
+    8: (96, 16, True, 128, 12),
+    9: (160, 16, True, 258, 16),
 }
 
 
