@@ -58,6 +58,45 @@ def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return cnt + (x == 0)
 
 
+def _matcher_kernel_slice(K: int, nw: int,
+                          skey_ref, swords_ref, meta_ref, out_ref):
+    """Unrolled static-slice variant: candidate k is the halo'd block at
+    lane offset KPAD-1-k — no loop-carried rolls, better ILP."""
+    tkey = skey_ref[0, 0, :, KPAD:]                    # (1, TILE) u32
+    tpos = (tkey & POS_MASK).astype(jnp.int32)
+    tbucket = tkey >> POS_BITS
+    tw = [swords_ref[0, 0, t:t + 1, KPAD:] for t in range(nw)]
+    min_src = meta_ref[0, 0, 0]
+    limit = meta_ref[0, 0, 1]
+    max_dist = meta_ref[0, 0, 2]
+    maxlen = jnp.minimum(consts.MAX_MATCH_LEN, limit - tpos)
+
+    n = tpos.shape
+    best_score = jnp.full(n, -1, jnp.int32)
+    best_ld = jnp.zeros(n, jnp.uint32)
+    for k in range(K):
+        o = KPAD - 1 - k
+        ck = skey_ref[0, 0, :, o:o + TILE]
+        cpos = (ck & POS_MASK).astype(jnp.int32)
+        dist = tpos - cpos
+        valid = ((ck >> POS_BITS) == tbucket) & (dist >= 1) \
+            & (dist <= max_dist) & (cpos >= min_src) \
+            & (cpos < limit)
+        ml = jnp.zeros_like(tpos)
+        run = (tkey == tkey)
+        for t in range(nw):
+            c = _tz_bytes(tw[t] ^ swords_ref[0, 0, t:t + 1, o:o + TILE])
+            ml = ml + jnp.where(run, c, 0)
+            run = run & (c == 4)
+        ml = jnp.minimum(ml, maxlen)
+        score = (ml << 16) - dist
+        upd = valid & (ml >= consts.MIN_MATCH_LEN) & (score > best_score)
+        best_score = jnp.where(upd, score, best_score)
+        best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
+                            | dist.astype(jnp.uint32), best_ld)
+    out_ref[0, 0, :, :] = best_ld
+
+
 def _matcher_kernel(K: int, nw: int,
                     skey_ref, swords_ref, meta_ref, out_ref):
     """Grid (B, T).  Blocks carry a KPAD halo of preceding sorted rows.
@@ -103,6 +142,11 @@ def _matcher_kernel(K: int, nw: int,
     out_ref[0, 0, :, :] = best_ld
 
 
+import os
+
+_KERNEL_VARIANT = os.environ.get("FLATE_TPU_MATCH_KERNEL", "roll")
+
+
 @functools.partial(jax.jit, static_argnames=("K", "nw", "interpret"))
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                  meta: jnp.ndarray, K: int, nw: int,
@@ -110,7 +154,9 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
     """skey_t: (B, T, 1, L), swords_t: (B, T, nw, L) halo'd tiles
     (L = TILE + KPAD).  Returns (B, T*TILE) u32 best len<<16|dist."""
     B, T, _, L = skey_t.shape
-    kern = functools.partial(_matcher_kernel, K, nw)
+    base = _matcher_kernel_slice if _KERNEL_VARIANT == "slice" \
+        else _matcher_kernel
+    kern = functools.partial(base, K, nw)
     out = pl.pallas_call(
         kern,
         grid=(B, T),
