@@ -341,7 +341,9 @@ def _walk_kernel(word_ref, meta_ref, out_ref, cnt_ref):
         col = cur - r * LW
         onehot = lane == col
         row = word_ref[0, pl.ds(r, 1), :]
-        w = jnp.sum(jnp.where(onehot, row, 0).astype(jnp.uint32))
+        # Mosaic can't reduce unsigned ints — sum in i32, bit-identical
+        w = jnp.sum(jnp.where(onehot, row, 0).astype(jnp.int32)
+                    ).astype(jnp.uint32)
         kr = k // LW
         kc = k - kr * LW
         koh = lane == kc
