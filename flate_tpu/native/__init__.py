@@ -33,7 +33,7 @@ def _build(name: str) -> pathlib.Path | None:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O2", "-fPIC", "-shared", str(src), "-o", str(so)],
+                [cc, "-O3", "-march=native", "-fPIC", "-shared", str(src), "-o", str(so)],
                 check=True, capture_output=True, timeout=120)
             return so
         except (OSError, subprocess.SubprocessError):

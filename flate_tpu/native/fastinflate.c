@@ -52,6 +52,20 @@ static void br_init(BitReader *br, const uint8_t *in, size_t in_len,
 }
 
 static inline void br_fill(BitReader *br) {
+    if (br->pos + 8 <= br->in_len) {
+        /* one unaligned 8-byte load; mask back to the credited count so
+         * bits above nbits stay zero (the stored-block paths advance
+         * `pos` without the bit buffer and rely on that invariant) */
+        uint64_t v;
+        memcpy(&v, br->in + br->pos, 8);
+        int take = (63 - br->nbits) >> 3;
+        br->buf |= v << br->nbits;
+        br->nbits += take * 8;
+        br->pos += take;
+        if (br->nbits < 64)
+            br->buf &= ((uint64_t)1 << br->nbits) - 1;
+        return;
+    }
     while (br->nbits <= 56 && br->pos < br->in_len) {
         br->buf |= (uint64_t)br->in[br->pos++] << br->nbits;
         br->nbits += 8;
@@ -90,9 +104,8 @@ static void br_align(BitReader *br) {
 }
 
 /* ------------------------------------------------------------------ */
-/* decode tables: flat 2^bits lookup of (symbol<<4 | len), 0 = invalid */
-
-#define TBL_INVALID 0xFFFFu
+/* decode tables: flat 2^bits lookup, entry = (symbol << 4) | code_len;
+ * 0 = invalid (no zero-length codes exist).  One u16 load per symbol. */
 
 static uint32_t rev_bits(uint32_t code, int len) {
     uint32_t r = 0;
@@ -105,7 +118,7 @@ static uint32_t rev_bits(uint32_t code, int len) {
 
 /* returns 0 ok or error; is_litlen enables EOB check; max_bits 15 or 7 */
 static int build_table(const uint8_t *lens, int n, int max_bits,
-                       int is_litlen, uint16_t *sym_t, uint8_t *bit_t) {
+                       int is_litlen, uint16_t *tbl) {
     int count[16] = {0};
     int maxl = 0;
     if (is_litlen && lens[256] == 0) return ERR_NOEOB;
@@ -117,7 +130,7 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
     }
     size_t tsize = (size_t)1 << max_bits;
     if (maxl == 0) {  /* empty tree: everything invalid */
-        for (size_t i = 0; i < tsize; i++) sym_t[i] = TBL_INVALID;
+        memset(tbl, 0, tsize * sizeof(uint16_t));
         return 0;
     }
     long left = 1;
@@ -132,7 +145,7 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
         if (!(max_bits > 7 && maxl == count[1]))
             return ERR_INCOMPLETE;
     }
-    for (size_t i = 0; i < tsize; i++) sym_t[i] = TBL_INVALID;
+    memset(tbl, 0, tsize * sizeof(uint16_t));
     /* canonical first codes */
     uint32_t next_code[16] = {0};
     uint32_t code = 0;
@@ -145,10 +158,9 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
         if (!l) continue;
         uint32_t r = rev_bits(next_code[l]++, l);
         size_t step = (size_t)1 << l;
-        for (size_t i = r; i < tsize; i += step) {
-            sym_t[i] = (uint16_t)s;
-            bit_t[i] = (uint8_t)l;
-        }
+        uint16_t e = (uint16_t)((s << 4) | l);
+        for (size_t i = r; i < tsize; i += step)
+            tbl[i] = e;
     }
     return 0;
 }
@@ -167,12 +179,9 @@ static const uint8_t CODEGEN_ORDER[19] =
     {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
 typedef struct {
-    uint16_t ll_sym[1 << 15];
-    uint8_t ll_bit[1 << 15];
-    uint16_t d_sym[1 << 15];
-    uint8_t d_bit[1 << 15];
-    uint16_t cg_sym[1 << 7];
-    uint8_t cg_bit[1 << 7];
+    uint16_t ll[1 << 15];
+    uint16_t d[1 << 15];
+    uint16_t cg[1 << 7];
 } Tables;
 
 static int read_code_lens(BitReader *br, Tables *t, int hcount,
@@ -180,9 +189,10 @@ static int read_code_lens(BitReader *br, Tables *t, int hcount,
     int pos = 0;
     while (pos < hcount) {
         uint32_t peek = br_peek(br, 7);
-        uint16_t s = t->cg_sym[peek];
-        if (s == TBL_INVALID) return ERR_CODE;
-        int rc = br_consume(br, t->cg_bit[peek]);
+        uint16_t e = t->cg[peek];
+        if (!e) return ERR_CODE;
+        uint16_t s = e >> 4;
+        int rc = br_consume(br, e & 15);
         if (rc) return rc;
         if (s < 16) {
             if (pos >= arr_len) return ERR_DYN;
@@ -227,7 +237,7 @@ static int decode_dynamic_header(BitReader *br, Tables *t) {
         if ((rc = br_read(br, 3, &v))) return rc;
         cl_lens[CODEGEN_ORDER[i]] = (uint8_t)v;
     }
-    if ((rc = build_table(cl_lens, 19, 7, 0, t->cg_sym, t->cg_bit)))
+    if ((rc = build_table(cl_lens, 19, 7, 0, t->cg)))
         return rc;
     uint8_t ll_lens[286] = {0};
     uint8_t d_lens[30] = {0};
@@ -235,9 +245,9 @@ static int decode_dynamic_header(BitReader *br, Tables *t) {
      * writable range at the declared counts (inflate.zig:146-183) */
     if ((rc = read_code_lens(br, t, (int)hlit, ll_lens, 286))) return rc;
     if ((rc = read_code_lens(br, t, (int)hdist, d_lens, 30))) return rc;
-    if ((rc = build_table(ll_lens, 286, 15, 1, t->ll_sym, t->ll_bit)))
+    if ((rc = build_table(ll_lens, 286, 15, 1, t->ll)))
         return rc;
-    if ((rc = build_table(d_lens, 30, 15, 0, t->d_sym, t->d_bit)))
+    if ((rc = build_table(d_lens, 30, 15, 0, t->d)))
         return rc;
     return 0;
 }
@@ -251,11 +261,11 @@ static int build_fixed(Tables *t) {
     for (; i < 280; i++) ll[i] = 7;
     for (; i < 288; i++) ll[i] = 8;
     for (i = 0; i < 32; i++) dd[i] = 5;
-    int rc = build_table(ll, 288, 15, 0, t->ll_sym, t->ll_bit);
+    int rc = build_table(ll, 288, 15, 0, t->ll);
     if (rc) return rc;
     /* all 32 5-bit distance codes so the table is complete; 30/31 decode
      * and are rejected as InvalidCode like the reference */
-    return build_table(dd, 32, 15, 0, t->d_sym, t->d_bit);
+    return build_table(dd, 32, 15, 0, t->d);
 }
 
 /* decode one coded block; returns 0 at EOB or error */
@@ -264,9 +274,10 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
     size_t w = *out_len;
     for (;;) {
         uint32_t peek = br_peek(br, 15);
-        uint16_t s = t->ll_sym[peek];
-        if (s == TBL_INVALID) return ERR_CODE;
-        int rc = br_consume(br, t->ll_bit[peek]);
+        uint16_t e = t->ll[peek];
+        if (!e) return ERR_CODE;
+        uint16_t s = e >> 4;
+        int rc = br_consume(br, e & 15);
         if (rc) return rc;
         if (s < 256) {
             if (w >= out_cap) { *out_len = w; return ERR_OUT; }
@@ -281,9 +292,10 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
             if ((rc = br_read(br, LEXTRA[li], &extra))) return rc;
             uint32_t length = LBASE[li] + extra;
             peek = br_peek(br, 15);
-            uint16_t ds = t->d_sym[peek];
-            if (ds == TBL_INVALID) return ERR_CODE;
-            if ((rc = br_consume(br, t->d_bit[peek]))) return rc;
+            uint16_t de = t->d[peek];
+            if (!de) return ERR_CODE;
+            uint16_t ds = de >> 4;
+            if ((rc = br_consume(br, de & 15))) return rc;
             if (ds > 29) return ERR_CODE;
             if ((rc = br_read(br, DEXTRA[ds], &extra))) return rc;
             uint32_t dist = DBASE[ds] + extra;
@@ -511,9 +523,10 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
         for (;;) {
             if (w >= out_cap) { rc = STREAM_MORE; goto done; }
             uint32_t peek = br_peek(&br, 15);
-            uint16_t s = st->t.ll_sym[peek];
-            if (s == TBL_INVALID) { rc = ERR_CODE; goto done; }
-            if ((rc = br_consume(&br, st->t.ll_bit[peek]))) goto done;
+            uint16_t e = st->t.ll[peek];
+            if (!e) { rc = ERR_CODE; goto done; }
+            uint16_t s = e >> 4;
+            if ((rc = br_consume(&br, e & 15))) goto done;
             if (s < 256) {
                 st_put(st, out, &w, (uint8_t)s);
             } else if (s == 256) {
@@ -527,9 +540,10 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
                 if ((rc = br_read(&br, LEXTRA[li], &extra))) goto done;
                 uint32_t length = LBASE[li] + extra;
                 peek = br_peek(&br, 15);
-                uint16_t ds = st->t.d_sym[peek];
-                if (ds == TBL_INVALID) { rc = ERR_CODE; goto done; }
-                if ((rc = br_consume(&br, st->t.d_bit[peek]))) goto done;
+                uint16_t de = st->t.d[peek];
+                if (!de) { rc = ERR_CODE; goto done; }
+                uint16_t ds = de >> 4;
+                if ((rc = br_consume(&br, de & 15))) goto done;
                 if (ds > 29) { rc = ERR_CODE; goto done; }
                 if ((rc = br_read(&br, DEXTRA[ds], &extra))) goto done;
                 uint32_t dist = DBASE[ds] + extra;
