@@ -30,21 +30,22 @@ from ..containers import (Container, GzipMetadata, Hasher, write_footer,
 from . import encode2, match2
 from . import parse as prs
 from . import pack as pk
+from . import squeeze as sq
 
 CTX = consts.MAX_DISTANCE
 
 # kernel-path level knobs:
-# (K candidates, carried words, lazy, max_lazy, K3 3-byte candidates)
+# (K candidates, carried words, lazy, max_lazy, K3 3-byte cands, squeeze)
 LEVEL_KERNEL = {
-    1: (4, 2, False, 0, 0),
-    2: (8, 2, False, 0, 0),
-    3: (12, 4, False, 0, 4),
-    4: (16, 4, True, 4, 4),
-    5: (24, 8, True, 16, 8),
-    6: (48, 8, True, 32, 8),
-    7: (64, 16, True, 64, 8),
-    8: (96, 16, True, 128, 12),
-    9: (160, 16, True, 258, 16),
+    1: (4, 2, False, 0, 0, False),
+    2: (8, 2, False, 0, 0, False),
+    3: (12, 4, False, 0, 4, False),
+    4: (16, 4, True, 4, 4, False),
+    5: (24, 8, True, 16, 8, False),
+    6: (48, 8, True, 32, 8, False),
+    7: (64, 16, True, 64, 8, True),
+    8: (96, 16, True, 128, 12, True),
+    9: (160, 16, True, 258, 16, True),
 }
 
 
@@ -56,7 +57,8 @@ def _nwr(S: int) -> int:
 def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
                 valid_lens: jnp.ndarray, finals: jnp.ndarray, *, S: int,
                 ctx: int, K: int, nw: int, lazy: bool, max_lazy: int,
-                K3: int = 0, interpret: bool = False):
+                K3: int = 0, squeeze: bool = False,
+                interpret: bool = False):
     """(B, ctx+S) primed windows -> (words, tbits, kind).
 
     The traceable heart of the v2 pipeline, shared by the single-device
@@ -69,21 +71,31 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
     starts = prs.parse_blocks(mlen, mdist, start=ctx, lazy=lazy,
                               max_lazy=max_lazy)
+    m_r, d_r = mlen[:, ctx:], mdist[:, ctx:]
+    take_r, starts_r = take[:, ctx:], starts[:, ctx:]
+    if squeeze:
+        ll_bits, d_bits = sq.greedy_code_lengths(
+            windows[:, ctx:], m_r, d_r, starts_r, take_r, valid_lens)
+        take_r, starts_r, sel = sq.squeeze_parse(
+            windows[:, ctx:], m_r, d_r, ll_bits, d_bits,
+            blk=prs.PARSE_BLK)
+        m_r = jnp.where(take_r, sel, 0)
     vals, bits, total_bits, kind = encode2.build_fields(
-        windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
-        take[:, ctx:], valid_lens, finals, S)
+        windows[:, ctx:], m_r, d_r, starts_r,
+        take_r, valid_lens, finals, S)
     words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
     return words, tbits, kind
 
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "ctx", "K", "nw", "lazy",
-                                    "max_lazy", "K3", "interpret"))
+                                    "max_lazy", "K3", "squeeze",
+                                    "interpret"))
 def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
                  ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
                  finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
                  lazy: bool, max_lazy: int, K3: int = 0,
-                 interpret: bool = False):
+                 squeeze: bool = False, interpret: bool = False):
     """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
     # context priming: row b takes row b-1's tail on device; row 0 takes
     # the host-provided carry
@@ -92,7 +104,7 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
     windows = jnp.concatenate([prev, shards], axis=1)
     return encode_core(windows, ctx_lens, valid_lens, finals, S=S, ctx=ctx,
                        K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
-                       interpret=interpret)
+                       squeeze=squeeze, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
@@ -117,9 +129,18 @@ def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
     return take, starts, mlen, mdist
 
 
+@jax.jit
+def _squeeze_stage(window_tail, m_r, d_r, take_r, starts_r, valid_lens):
+    ll_bits, d_bits = sq.greedy_code_lengths(
+        window_tail, m_r, d_r, starts_r, take_r, valid_lens)
+    take2, starts2, sel = sq.squeeze_parse(
+        window_tail, m_r, d_r, ll_bits, d_bits, blk=prs.PARSE_BLK)
+    return take2, starts2, jnp.where(take2, sel, 0)
+
+
 def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
                         S: int, ctx: int, K: int, nw: int, lazy: bool,
-                        max_lazy: int, K3: int = 0,
+                        max_lazy: int, K3: int = 0, squeeze: bool = False,
                         interpret: bool = False):
     """Stage-jitted twin of encode_batch.
 
@@ -136,9 +157,14 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
     take, starts, mlen, mdist = _parse_stage(
         mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx,
         interpret=interpret)
+    m_r, d_r = mlen[:, ctx:], mdist[:, ctx:]
+    take_r, starts_r = take[:, ctx:], starts[:, ctx:]
+    if squeeze:
+        take_r, starts_r, m_r = _squeeze_stage(
+            windows[:, ctx:], m_r, d_r, take_r, starts_r, valid_lens)
     vals, bits, total_bits, kind = encode2.build_fields(
-        windows[:, ctx:], mlen[:, ctx:], mdist[:, ctx:], starts[:, ctx:],
-        take[:, ctx:], valid_lens, finals, S)
+        windows[:, ctx:], m_r, d_r, starts_r,
+        take_r, valid_lens, finals, S)
     words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
     return words, tbits, kind
 
@@ -180,7 +206,7 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
     gzip tools ignore the subfield (RFC 1952 §2.3.1.1)."""
     if level not in LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
-    K, nw, lazy, max_lazy, K3 = LEVEL_KERNEL[level]
+    K, nw, lazy, max_lazy, K3, squeeze = LEVEL_KERNEL[level]
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     S = shard_len
@@ -216,7 +242,8 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
             jnp.asarray(shards_np), jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
-            max_lazy=max_lazy, K3=K3, interpret=interpret)
+            max_lazy=max_lazy, K3=K3, squeeze=squeeze,
+            interpret=interpret)
         return nb, words, tbits
 
     fetch = _Fetcher()

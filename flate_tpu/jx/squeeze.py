@@ -1,0 +1,167 @@
+"""Device optimal-parse squeeze — block-local backward cost DP.
+
+The host path runs a zopfli-style shortest-path parse in C
+(native/fastparse.c) that beats zlib at levels 7-9.  This is its
+TPU-native counterpart: within each parse block (no token crosses block
+boundaries — same contract as jx/parse.parse_blocks), a backward DP
+picks, per position, the cheapest of {literal, match at one of a coarse
+length grid}: cost[i] = min(lit_bits[i] + cost[i+1],
+                            min_l match_bits(l, d_i) + cost[i + l]).
+
+All blocks run as vector lanes; cost[i + l] reads come from a sliding
+(L, WIN) window of future costs via one-hot masks over the 264-wide
+window, so no gathers.  Bit costs come from a first greedy pass's
+Huffman tables — one squeeze iteration, like the reference's two-pass
+flow (block_writer.zig builds codes from the actual histogram).
+
+The coarse grid {3,4,5,6,8,12,16,24,32,48,64,96,128,192,258} ∩ [3,
+mlen] trades exactness for vectorizability; measured recovery is most
+of the full DP's gain (short-match economization dominates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import consts
+from . import encode as enc
+from . import onehot
+
+GRID = (3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 258)
+WIN = 264                     # sliding future-cost window (>= 258 + 1)
+BIG = jnp.int32(1 << 28)
+
+
+def _match_bits(l: jnp.ndarray, d: jnp.ndarray, ll_bits: jnp.ndarray,
+                d_bits: jnp.ndarray) -> jnp.ndarray:
+    """Exact coded size of a (l, d) match under per-row tables.
+
+    l, d: (B, S); ll_bits (B, 286), d_bits (B, 30) code lengths."""
+    lc = enc.length_code(jnp.maximum(l, 3))
+    _, leb = enc.length_extra(jnp.maximum(l, 3), lc)
+    dc = enc.dist_code(jnp.maximum(d, 1))
+    _, deb = enc.dist_extra(jnp.maximum(d, 1), dc)
+    lbits = onehot.lookup_onehot(ll_bits.astype(jnp.uint32),
+                                 257 + lc).astype(jnp.int32)
+    dbits = onehot.lookup_onehot(d_bits.astype(jnp.uint32),
+                                 dc).astype(jnp.int32)
+    return lbits + leb + dbits + deb
+
+
+@functools.partial(jax.jit, static_argnames=("blk",))
+def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
+                  mdist: jnp.ndarray, ll_bits: jnp.ndarray,
+                  d_bits: jnp.ndarray, blk: int = 1024):
+    """Cost-optimal (take, starts, sel_len) over the shard region.
+
+    window_tail/mlen/mdist: (B, S) shard-region arrays (matches already
+    truncated to parse blocks); ll_bits/d_bits: per-row code lengths
+    from the greedy pass.  Returns (take, starts, sel_len) — sel_len is
+    the chosen token length per start (literal = 1)."""
+    B, S = window_tail.shape
+    assert S % blk == 0
+    NB = S // blk
+    L = B * NB
+
+    lit_bits = onehot.lookup_onehot(
+        ll_bits.astype(jnp.uint32), window_tail.astype(jnp.int32)
+    ).astype(jnp.int32)
+    lit_bits = jnp.where(lit_bits == 0, 15, lit_bits)   # unseen byte guard
+
+    # per-option candidate lengths and exact costs (position space)
+    opts_l = []
+    opts_c = []
+    for g in GRID:
+        l = jnp.minimum(mlen, g)
+        okay = (mlen >= consts.MIN_MATCH_LEN) & (l >= consts.MIN_MATCH_LEN)
+        cost = _match_bits(l, mdist, ll_bits, d_bits)
+        opts_l.append(jnp.where(okay, l, 0))
+        opts_c.append(jnp.where(okay, cost, BIG))
+
+    def to_lanes(x):
+        return x.reshape(B, NB, blk).reshape(L, blk)
+
+    lit_l = to_lanes(lit_bits)
+    ol = jnp.stack([to_lanes(x) for x in opts_l], 0)     # (O, L, blk)
+    oc = jnp.stack([to_lanes(x) for x in opts_c], 0)
+    O = len(GRID)
+
+    lane_iota = jnp.arange(WIN, dtype=jnp.int32)[None, :]
+
+    def body(j, carry):
+        cost_win, sel = carry
+        i = blk - 1 - j
+        # cost_win[:, r] = cost[i + 1 + r]
+        best = lit_l[:, i] + cost_win[:, 0]
+        bl = jnp.ones((L,), jnp.int32)
+        for o in range(O):
+            l = ol[o, :, i]
+            c = oc[o, :, i] + jnp.sum(
+                jnp.where(lane_iota == (l - 1)[:, None], cost_win, 0),
+                axis=1)
+            c = jnp.where(l > 0, c, BIG)
+            upd = c < best
+            best = jnp.where(upd, c, best)
+            bl = jnp.where(upd, l, bl)
+        sel = jax.lax.dynamic_update_slice(sel, bl[:, None], (0, i))
+        cost_win = jnp.concatenate(
+            [best[:, None], cost_win[:, :WIN - 1]], axis=1)
+        return cost_win, sel
+
+    cost0 = jnp.zeros((L, WIN), jnp.int32)   # cost beyond block end = 0
+    sel0 = jnp.ones((L, blk), jnp.int32)
+    _, sel = jax.lax.fori_loop(0, blk, body, (cost0, sel0))
+
+    # walk each block by sel_len to produce the start mask
+    iota = jnp.arange(blk, dtype=jnp.int32)[None, :]
+
+    def wcond(state):
+        cur, visited = state
+        return jnp.any(cur < blk)
+
+    def wbody(state):
+        cur, visited = state
+        oh = iota == cur[:, None]
+        s = jnp.sum(jnp.where(oh, sel, 0), axis=1)
+        visited = visited | oh
+        cur = jnp.where(cur < blk, cur + jnp.maximum(s, 1), cur)
+        return cur, visited
+
+    cur0 = jnp.zeros((L,), jnp.int32)
+    vis0 = jnp.zeros((L, blk), jnp.bool_)
+    _, starts_l = jax.lax.while_loop(wcond, wbody, (cur0, vis0))
+
+    starts = starts_l.reshape(B, NB, blk).reshape(B, S)
+    sel_pos = sel.reshape(B, NB, blk).reshape(B, S)
+    take = starts & (sel_pos >= consts.MIN_MATCH_LEN)
+    return take, starts, sel_pos
+
+
+def greedy_code_lengths(window_tail: jnp.ndarray, mlen: jnp.ndarray,
+                        mdist: jnp.ndarray, starts: jnp.ndarray,
+                        take: jnp.ndarray, valid_len: jnp.ndarray):
+    """Code lengths from the greedy pass's token histogram (the DP's
+    cost model; mirrors build_fields' histogram stage)."""
+    from . import huff
+    B, S = window_tail.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    live = pos < valid_len[:, None]
+    tok_start = starts & live
+    is_m = take & tok_start
+    lcode = enc.length_code(jnp.maximum(mlen, 3))
+    llsym = jnp.where(is_m, 257 + lcode, window_tail.astype(jnp.int32))
+    llsym = jnp.where(tok_start, llsym, 0)
+    dsym = jnp.where(is_m, enc.dist_code(jnp.maximum(mdist, 1)), 0)
+    hll = onehot.hist_onehot(llsym, tok_start, consts.NUM_LITLEN)
+    hll = hll.at[:, consts.END_OF_BLOCK].add(1)
+    hdd = onehot.hist_onehot(dsym, is_m, consts.NUM_DIST)
+    ll_lens = huff.pm_lengths(hll, consts.MAX_CODE_BITS)
+    d_lens = huff.pm_lengths(hdd, consts.MAX_CODE_BITS)
+    # zero-length guards: unseen symbols cost a pessimistic 15 bits
+    ll_bits = jnp.where(ll_lens > 0, ll_lens, 15)
+    d_bits = jnp.where(d_lens > 0, d_lens, 15)
+    return ll_bits, d_bits

@@ -52,7 +52,8 @@ CTX = consts.MAX_DISTANCE
 @functools.lru_cache(maxsize=32)
 def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
                     K: int, nw: int, lazy: bool, max_lazy: int,
-                    K3: int = 0, interpret: bool = False):
+                    K3: int = 0, squeeze: bool = False,
+                    interpret: bool = False):
     """Build (and cache) the jitted shard_map encode step for this mesh
     geometry — cached so repeated compress calls reuse the compilation."""
 
@@ -70,7 +71,8 @@ def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
         windows = jnp.concatenate([prev, shards], axis=1)
         return pipeline2.encode_core(
             windows, ctx_lens, valid, finals, S=S, ctx=ctx, K=K, nw=nw, K3=K3,
-            lazy=lazy, max_lazy=max_lazy, interpret=interpret)
+            lazy=lazy, max_lazy=max_lazy, squeeze=squeeze,
+            interpret=interpret)
 
     mapped = _shard_map(
         body, mesh,
@@ -92,7 +94,7 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
     current batch's words are fetched, overlapping H2D/compute/D2H."""
     if level not in pipeline2.LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
-    K, nw, lazy, max_lazy, K3 = pipeline2.LEVEL_KERNEL[level]
+    K, nw, lazy, max_lazy, K3, squeeze = pipeline2.LEVEL_KERNEL[level]
     mesh = mesh if mesh is not None else make_mesh(axis=axis)
     ndev = mesh.devices.size
     batch = ndev * per_device
@@ -103,7 +105,7 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
 
     enc = _mesh_encode_fn(mesh, axis, ndev, S=S, ctx=ctx, K=K, nw=nw,
                           lazy=lazy, max_lazy=max_lazy, K3=K3,
-                          interpret=interpret)
+                          squeeze=squeeze, interpret=interpret)
     spec_row = NamedSharding(mesh, P(axis, None))
     spec_1d = NamedSharding(mesh, P(axis))
     spec_rep = NamedSharding(mesh, P())
