@@ -144,7 +144,7 @@ def _matcher_kernel(K: int, nw: int,
 
 import os
 
-_KERNEL_VARIANT = os.environ.get("FLATE_TPU_MATCH_KERNEL", "roll")
+_KERNEL_VARIANT = os.environ.get("FLATE_TPU_MATCH_KERNEL", "slice")
 
 
 @functools.partial(jax.jit, static_argnames=("K", "nw", "interpret"))

@@ -34,18 +34,20 @@ from . import squeeze as sq
 
 CTX = consts.MAX_DISTANCE
 
-# kernel-path level knobs:
-# (K candidates, carried words, lazy, max_lazy, K3 3-byte cands, squeeze)
+# kernel-path level knobs: (K candidates, carried words, lazy, max_lazy,
+# K3 3-byte cands, squeeze, parse-block size).  Levels 7-9 pay deeper
+# carries, the cost DP, and 4 KiB parse blocks for size <= zlib
+# (measured 0.974-0.981 at level 9); 1-6 favor throughput.
 LEVEL_KERNEL = {
-    1: (4, 2, False, 0, 0, False),
-    2: (8, 2, False, 0, 0, False),
-    3: (12, 4, False, 0, 4, False),
-    4: (16, 4, True, 4, 4, False),
-    5: (24, 8, True, 16, 8, False),
-    6: (48, 8, True, 32, 8, False),
-    7: (64, 16, True, 64, 8, True),
-    8: (96, 16, True, 128, 12, True),
-    9: (160, 16, True, 258, 16, True),
+    1: (4, 2, False, 0, 0, False, 1024),
+    2: (8, 2, False, 0, 0, False, 1024),
+    3: (12, 4, False, 0, 4, False, 1024),
+    4: (16, 4, True, 4, 4, False, 1024),
+    5: (24, 8, True, 16, 8, False, 1024),
+    6: (48, 8, True, 32, 8, False, 1024),
+    7: (64, 16, True, 64, 8, True, 4096),
+    8: (96, 16, True, 128, 12, True, 4096),
+    9: (160, 16, True, 258, 16, True, 4096),
 }
 
 
@@ -58,7 +60,7 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
                 valid_lens: jnp.ndarray, finals: jnp.ndarray, *, S: int,
                 ctx: int, K: int, nw: int, lazy: bool, max_lazy: int,
                 K3: int = 0, squeeze: bool = False,
-                interpret: bool = False):
+                blk: int = prs.PARSE_BLK, interpret: bool = False):
     """(B, ctx+S) primed windows -> (words, tbits, kind).
 
     The traceable heart of the v2 pipeline, shared by the single-device
@@ -67,18 +69,17 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
     mlen, mdist = match2.find_matches_fused(
         windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx, K3=K3,
         interpret=interpret)
-    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx)
+    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx, blk)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
     starts = prs.parse_blocks(mlen, mdist, start=ctx, lazy=lazy,
-                              max_lazy=max_lazy)
+                              max_lazy=max_lazy, blk=blk)
     m_r, d_r = mlen[:, ctx:], mdist[:, ctx:]
     take_r, starts_r = take[:, ctx:], starts[:, ctx:]
     if squeeze:
         ll_bits, d_bits = sq.greedy_code_lengths(
             windows[:, ctx:], m_r, d_r, starts_r, take_r, valid_lens)
         take_r, starts_r, sel = sq.squeeze_parse(
-            windows[:, ctx:], m_r, d_r, ll_bits, d_bits,
-            blk=prs.PARSE_BLK)
+            windows[:, ctx:], m_r, d_r, ll_bits, d_bits, blk=blk)
         m_r = jnp.where(take_r, sel, 0)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], m_r, d_r, starts_r,
@@ -89,13 +90,14 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "ctx", "K", "nw", "lazy",
-                                    "max_lazy", "K3", "squeeze",
+                                    "max_lazy", "K3", "squeeze", "blk",
                                     "interpret"))
 def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
                  ctx_lens: jnp.ndarray, valid_lens: jnp.ndarray,
                  finals: jnp.ndarray, *, S: int, ctx: int, K: int, nw: int,
                  lazy: bool, max_lazy: int, K3: int = 0,
-                 squeeze: bool = False, interpret: bool = False):
+                 squeeze: bool = False, blk: int = prs.PARSE_BLK,
+                 interpret: bool = False):
     """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
     # context priming: row b takes row b-1's tail on device; row 0 takes
     # the host-provided carry
@@ -104,7 +106,7 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
     windows = jnp.concatenate([prev, shards], axis=1)
     return encode_core(windows, ctx_lens, valid_lens, finals, S=S, ctx=ctx,
                        K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
-                       squeeze=squeeze, interpret=interpret)
+                       squeeze=squeeze, blk=blk, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
@@ -116,32 +118,34 @@ def _prime_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
 
 
 @functools.partial(jax.jit, static_argnames=("lazy", "max_lazy", "ctx",
-                                             "interpret"))
+                                             "blk", "interpret"))
 def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
-                 max_lazy: int, ctx: int, interpret: bool = False):
+                 max_lazy: int, ctx: int, blk: int = prs.PARSE_BLK,
+                 interpret: bool = False):
     """Truncate matches to parse blocks, decide, walk.  Returns the
     truncated (mlen, mdist) — the field build must use them so emitted
     tokens agree with the walk."""
-    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx)
+    mlen, mdist = prs.truncate_matches(mlen, mdist, ctx, blk)
     take, _ = prs.decide(mlen, mdist, lazy, max_lazy)
     starts = prs.parse_blocks(mlen, mdist, start=ctx, lazy=lazy,
-                              max_lazy=max_lazy)
+                              max_lazy=max_lazy, blk=blk)
     return take, starts, mlen, mdist
 
 
-@jax.jit
-def _squeeze_stage(window_tail, m_r, d_r, take_r, starts_r, valid_lens):
+@functools.partial(jax.jit, static_argnames=("blk",))
+def _squeeze_stage(window_tail, m_r, d_r, take_r, starts_r, valid_lens,
+                   blk: int = prs.PARSE_BLK):
     ll_bits, d_bits = sq.greedy_code_lengths(
         window_tail, m_r, d_r, starts_r, take_r, valid_lens)
     take2, starts2, sel = sq.squeeze_parse(
-        window_tail, m_r, d_r, ll_bits, d_bits, blk=prs.PARSE_BLK)
+        window_tail, m_r, d_r, ll_bits, d_bits, blk=blk)
     return take2, starts2, jnp.where(take2, sel, 0)
 
 
 def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
                         S: int, ctx: int, K: int, nw: int, lazy: bool,
                         max_lazy: int, K3: int = 0, squeeze: bool = False,
-                        interpret: bool = False):
+                        blk: int = prs.PARSE_BLK, interpret: bool = False):
     """Stage-jitted twin of encode_batch.
 
     Same math as the single-jit path, but each stage is its own jitted
@@ -155,13 +159,14 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
         windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx, K3=K3,
         interpret=interpret)
     take, starts, mlen, mdist = _parse_stage(
-        mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx,
+        mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx, blk=blk,
         interpret=interpret)
     m_r, d_r = mlen[:, ctx:], mdist[:, ctx:]
     take_r, starts_r = take[:, ctx:], starts[:, ctx:]
     if squeeze:
         take_r, starts_r, m_r = _squeeze_stage(
-            windows[:, ctx:], m_r, d_r, take_r, starts_r, valid_lens)
+            windows[:, ctx:], m_r, d_r, take_r, starts_r, valid_lens,
+            blk=blk)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], m_r, d_r, starts_r,
         take_r, valid_lens, finals, S)
@@ -206,7 +211,10 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
     gzip tools ignore the subfield (RFC 1952 §2.3.1.1)."""
     if level not in LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
-    K, nw, lazy, max_lazy, K3, squeeze = LEVEL_KERNEL[level]
+    K, nw, lazy, max_lazy, K3, squeeze, blk = LEVEL_KERNEL[level]
+    blk = min(blk, shard_len)
+    while shard_len % blk:
+        blk //= 2
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     S = shard_len
@@ -242,7 +250,7 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
             jnp.asarray(shards_np), jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
-            max_lazy=max_lazy, K3=K3, squeeze=squeeze,
+            max_lazy=max_lazy, K3=K3, squeeze=squeeze, blk=blk,
             interpret=interpret)
         return nb, words, tbits
 

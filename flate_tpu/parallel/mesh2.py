@@ -52,7 +52,7 @@ CTX = consts.MAX_DISTANCE
 @functools.lru_cache(maxsize=32)
 def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
                     K: int, nw: int, lazy: bool, max_lazy: int,
-                    K3: int = 0, squeeze: bool = False,
+                    K3: int = 0, squeeze: bool = False, blk: int = 1024,
                     interpret: bool = False):
     """Build (and cache) the jitted shard_map encode step for this mesh
     geometry — cached so repeated compress calls reuse the compilation."""
@@ -71,7 +71,7 @@ def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
         windows = jnp.concatenate([prev, shards], axis=1)
         return pipeline2.encode_core(
             windows, ctx_lens, valid, finals, S=S, ctx=ctx, K=K, nw=nw, K3=K3,
-            lazy=lazy, max_lazy=max_lazy, squeeze=squeeze,
+            lazy=lazy, max_lazy=max_lazy, squeeze=squeeze, blk=blk,
             interpret=interpret)
 
     mapped = _shard_map(
@@ -94,7 +94,10 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
     current batch's words are fetched, overlapping H2D/compute/D2H."""
     if level not in pipeline2.LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
-    K, nw, lazy, max_lazy, K3, squeeze = pipeline2.LEVEL_KERNEL[level]
+    K, nw, lazy, max_lazy, K3, squeeze, blk = pipeline2.LEVEL_KERNEL[level]
+    blk = min(blk, shard_len)
+    while shard_len % blk:
+        blk //= 2
     mesh = mesh if mesh is not None else make_mesh(axis=axis)
     ndev = mesh.devices.size
     batch = ndev * per_device
@@ -105,7 +108,7 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
 
     enc = _mesh_encode_fn(mesh, axis, ndev, S=S, ctx=ctx, K=K, nw=nw,
                           lazy=lazy, max_lazy=max_lazy, K3=K3,
-                          squeeze=squeeze, interpret=interpret)
+                          squeeze=squeeze, blk=blk, interpret=interpret)
     spec_row = NamedSharding(mesh, P(axis, None))
     spec_1d = NamedSharding(mesh, P(axis))
     spec_rep = NamedSharding(mesh, P())
