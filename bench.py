@@ -178,6 +178,51 @@ def main() -> None:
     detail["inflate_vs_baseline"] = round(
         dec["srctar"]["gbps"] / BASELINE_DEC_GBPS, 3)
 
+    # ---- optional per-stage device profile (BENCH_PROFILE=1) ----
+    if os.environ.get("BENCH_PROFILE") == "1" and PIPE == "v2":
+        import numpy as _np
+        import jax as _jax
+        import jax.numpy as _jnp
+        from flate_tpu import consts as _c
+        from flate_tpu.jx import pipeline2 as _pp
+
+        S, ctx, batch = _c.SHARD_LEN, _pp.CTX, 32
+        K, nw, lz, mx, K3, sqz, blk = _pp.LEVEL_KERNEL[LEVEL]
+        arr = _np.frombuffer(data[: batch * S], _np.uint8)
+        sh_np = _np.zeros((batch, S), _np.uint8)
+        sh_np.reshape(-1)[: arr.size] = arr
+        sh = _jnp.asarray(sh_np)
+        c0 = _jnp.asarray(_np.zeros(ctx, _np.uint8))
+        cl = _jnp.asarray(_np.full(batch, ctx, _np.int32))
+        vl = _jnp.asarray(_np.full(batch, S, _np.int32))
+        fnl = _jnp.asarray(_np.zeros(batch, _np.int32))
+
+        def sync_ms(f, n=10):
+            r = f()
+            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = f()
+            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+            return round((time.perf_counter() - t0) / n * 1e3, 1)
+
+        win = _pp._prime_windows(sh, c0, ctx=ctx)
+        ml, md = _pp.match2.find_matches_fused(win, cl, vl, K=K, nw=nw,
+                                               ctx=ctx, K3=K3)
+        prof = {
+            "batch_mb": batch * S / 1e6,
+            "match_ms": sync_ms(lambda: _pp.match2.find_matches_fused(
+                win, cl, vl, K=K, nw=nw, ctx=ctx, K3=K3)),
+            "parse_ms": sync_ms(lambda: _pp._parse_stage(
+                ml, md, lazy=lz, max_lazy=mx, ctx=ctx, blk=blk)),
+            "e2e_ms": sync_ms(lambda: _pp.encode_batch_staged(
+                sh, c0, cl, vl, fnl, S=S, ctx=ctx, K=K, nw=nw, lazy=lz,
+                max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)),
+        }
+        prof["device_gbps"] = round(
+            batch * S / prof["e2e_ms"] / 1e6, 4)
+        detail["stage_profile"] = prof
+
     print(json.dumps({
         "metric": "gzip_level6_encode_throughput",
         "value": round(gbps, 4),
