@@ -35,16 +35,18 @@ from . import squeeze as sq
 CTX = consts.MAX_DISTANCE
 
 # kernel-path level knobs: (K candidates, carried words, lazy, max_lazy,
-# K3 3-byte cands, squeeze, parse-block size).  Levels 7-9 pay deeper
-# carries, the cost DP, and 4 KiB parse blocks for size <= zlib
-# (measured 0.974-0.981 at level 9); 1-6 favor throughput.
+# K3 3-byte cands, squeeze, parse-block size).  The cost DP (squeeze)
+# runs at levels 4-9 — it takes level 6 from 1.017x to 0.981x of zlib
+# for ~37% more device time; 7-9 add deeper carries and 4 KiB parse
+# blocks (level 9 measured 0.974-0.981x).  Levels 1-3 are the speed
+# tier (level 1 beats zlib-1 greedily).
 LEVEL_KERNEL = {
     1: (4, 2, False, 0, 0, False, 1024),
     2: (8, 2, False, 0, 0, False, 1024),
     3: (12, 4, False, 0, 4, False, 1024),
-    4: (16, 4, True, 4, 4, False, 1024),
-    5: (24, 8, True, 16, 8, False, 1024),
-    6: (48, 8, True, 32, 8, False, 1024),
+    4: (16, 4, True, 4, 4, True, 1024),
+    5: (24, 8, True, 16, 8, True, 1024),
+    6: (48, 8, True, 32, 8, True, 1024),
     7: (64, 16, True, 64, 8, True, 4096),
     8: (96, 16, True, 128, 12, True, 4096),
     9: (160, 16, True, 258, 16, True, 4096),
