@@ -72,23 +72,27 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     ).astype(jnp.int32)
     lit_bits = jnp.where(lit_bits == 0, 15, lit_bits)   # unseen byte guard
 
-    # per-option candidate lengths and exact costs (position space)
-    opts_l = []
-    opts_c = []
-    for g in GRID:
-        l = jnp.minimum(mlen, g)
-        okay = (mlen >= consts.MIN_MATCH_LEN) & (l >= consts.MIN_MATCH_LEN)
-        cost = _match_bits(l, mdist, ll_bits, d_bits)
-        opts_l.append(jnp.where(okay, l, 0))
-        opts_c.append(jnp.where(okay, cost, BIG))
+    # Option set: the full match length (dynamic, one one-hot window
+    # read) plus static grid lengths g < mlen (static column reads —
+    # GRID values are compile-time constants, so cost_win[:, g-1] costs
+    # nothing; ~15x cheaper than one-hot reads per option).
+    full_l = jnp.where(mlen >= consts.MIN_MATCH_LEN, mlen, 0)
+    full_c = jnp.where(mlen >= consts.MIN_MATCH_LEN,
+                       _match_bits(mlen, mdist, ll_bits, d_bits), BIG)
+    static_c = []
+    for g in GRID[:-1]:
+        okay = mlen > g                       # l = g exactly; mlen == g
+        cost = _match_bits(jnp.full_like(mlen, g), mdist,   # is full_l
+                           ll_bits, d_bits)
+        static_c.append(jnp.where(okay, cost, BIG))
 
     def to_lanes(x):
         return x.reshape(B, NB, blk).reshape(L, blk)
 
     lit_l = to_lanes(lit_bits)
-    ol = jnp.stack([to_lanes(x) for x in opts_l], 0)     # (O, L, blk)
-    oc = jnp.stack([to_lanes(x) for x in opts_c], 0)
-    O = len(GRID)
+    fl = to_lanes(full_l)
+    fc = to_lanes(full_c)
+    sc = jnp.stack([to_lanes(x) for x in static_c], 0)   # (O-1, L, blk)
 
     lane_iota = jnp.arange(WIN, dtype=jnp.int32)[None, :]
 
@@ -98,15 +102,19 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
         # cost_win[:, r] = cost[i + 1 + r]
         best = lit_l[:, i] + cost_win[:, 0]
         bl = jnp.ones((L,), jnp.int32)
-        for o in range(O):
-            l = ol[o, :, i]
-            c = oc[o, :, i] + jnp.sum(
-                jnp.where(lane_iota == (l - 1)[:, None], cost_win, 0),
-                axis=1)
-            c = jnp.where(l > 0, c, BIG)
+        l = fl[:, i]
+        c = fc[:, i] + jnp.sum(
+            jnp.where(lane_iota == (l - 1)[:, None], cost_win, 0),
+            axis=1)
+        c = jnp.where(l > 0, c, BIG)
+        upd = c < best
+        best = jnp.where(upd, c, best)
+        bl = jnp.where(upd, l, bl)
+        for o, g in enumerate(GRID[:-1]):
+            c = sc[o, :, i] + cost_win[:, g - 1]
             upd = c < best
             best = jnp.where(upd, c, best)
-            bl = jnp.where(upd, l, bl)
+            bl = jnp.where(upd, g, bl)
         sel = jax.lax.dynamic_update_slice(sel, bl[:, None], (0, i))
         cost_win = jnp.concatenate(
             [best[:, None], cost_win[:, :WIN - 1]], axis=1)
