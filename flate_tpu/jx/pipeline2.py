@@ -43,10 +43,10 @@ CTX = consts.MAX_DISTANCE
 LEVEL_KERNEL = {
     1: (4, 2, False, 0, 0, False, 1024),
     2: (8, 2, False, 0, 0, False, 1024),
-    3: (12, 4, False, 0, 4, False, 1024),
-    4: (16, 4, True, 4, 4, True, 1024),
-    5: (24, 8, True, 16, 8, True, 1024),
-    6: (48, 8, True, 32, 8, True, 1024),
+    3: (12, 4, False, 0, 0, False, 1024),
+    4: (16, 4, True, 4, 0, True, 1024),
+    5: (24, 8, True, 16, 0, True, 1024),
+    6: (48, 8, True, 32, 0, True, 1024),
     7: (64, 16, True, 64, 8, True, 4096),
     8: (96, 16, True, 128, 12, True, 4096),
     9: (160, 16, True, 258, 16, True, 4096),
