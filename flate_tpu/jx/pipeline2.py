@@ -258,11 +258,14 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
 
     fetch = _Fetcher()
     bases = list(range(0, nshards, batch))
-    inflight = dispatch(bases[0])
+    # keep two batches in flight so the host-side fetch/splice of batch
+    # j overlaps device compute of j+1 AND the upload of j+2
+    DEPTH = 2
+    queue = [dispatch(b) for b in bases[:DEPTH]]
     for j in range(len(bases)):
-        nb, words, tbits = inflight
-        if j + 1 < len(bases):
-            inflight = dispatch(bases[j + 1])
+        nb, words, tbits = queue.pop(0)
+        if j + DEPTH < len(bases):
+            queue.append(dispatch(bases[j + DEPTH]))
         words_np, tbits_np = fetch(words, tbits)
         flat = words_np.reshape(words_np.shape[0], -1)
         for i in range(nb):
