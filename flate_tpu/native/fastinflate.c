@@ -104,8 +104,17 @@ static void br_align(BitReader *br) {
 }
 
 /* ------------------------------------------------------------------ */
-/* decode tables: flat 2^bits lookup, entry = (symbol << 4) | code_len;
- * 0 = invalid (no zero-length codes exist).  One u16 load per symbol. */
+/* decode tables.
+ *
+ * 15-bit decoders (litlen, dist) are two-level for L1 residency: a
+ * 1024-entry u32 primary indexed by the low 10 code bits — terminal
+ * entries are (sym << 4) | len, pointer entries have bit 31 set and
+ * carry a secondary offset + sub-width for codes longer than 10 bits.
+ * The 7-bit codegen decoder stays a flat u16 table.  0 = invalid. */
+
+#define PTR_FLAG 0x80000000u
+#define PRIMARY_BITS 10
+#define PRIMARY_SIZE (1u << PRIMARY_BITS)
 
 static uint32_t rev_bits(uint32_t code, int len) {
     uint32_t r = 0;
@@ -116,10 +125,9 @@ static uint32_t rev_bits(uint32_t code, int len) {
     return r;
 }
 
-/* returns 0 ok or error; is_litlen enables EOB check; max_bits 15 or 7 */
-static int build_table(const uint8_t *lens, int n, int max_bits,
-                       int is_litlen, uint16_t *tbl) {
-    int count[16] = {0};
+/* shared validity checks; returns 0 ok or error; fills count[] and maxl */
+static int check_lens(const uint8_t *lens, int n, int max_bits,
+                      int is_litlen, int *count, int *maxl_out) {
     int maxl = 0;
     if (is_litlen && lens[256] == 0) return ERR_NOEOB;
     for (int i = 0; i < n; i++) {
@@ -128,11 +136,8 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
             if (lens[i] > maxl) maxl = lens[i];
         }
     }
-    size_t tsize = (size_t)1 << max_bits;
-    if (maxl == 0) {  /* empty tree: everything invalid */
-        memset(tbl, 0, tsize * sizeof(uint16_t));
-        return 0;
-    }
+    *maxl_out = maxl;
+    if (maxl == 0) return 0;
     long left = 1;
     for (int l = 1; l <= max_bits; l++) {
         left <<= 1;
@@ -145,8 +150,18 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
         if (!(max_bits > 7 && maxl == count[1]))
             return ERR_INCOMPLETE;
     }
+    return 0;
+}
+
+/* flat table (7-bit codegen decoder) */
+static int build_table(const uint8_t *lens, int n, int max_bits,
+                       int is_litlen, uint16_t *tbl) {
+    int count[16] = {0};
+    int maxl;
+    int rc = check_lens(lens, n, max_bits, is_litlen, count, &maxl);
+    size_t tsize = (size_t)1 << max_bits;
     memset(tbl, 0, tsize * sizeof(uint16_t));
-    /* canonical first codes */
+    if (rc || maxl == 0) return rc;
     uint32_t next_code[16] = {0};
     uint32_t code = 0;
     for (int l = 1; l <= maxl; l++) {
@@ -165,6 +180,75 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
     return 0;
 }
 
+/* two-level table (15-bit litlen/dist decoders) */
+static int build_table2(const uint8_t *lens, int n, int is_litlen,
+                        uint32_t *t1, uint16_t *sub) {
+    int count[16] = {0};
+    int maxl;
+    int rc = check_lens(lens, n, 15, is_litlen, count, &maxl);
+    memset(t1, 0, PRIMARY_SIZE * sizeof(uint32_t));
+    if (rc || maxl == 0) return rc;
+    uint32_t next_code[16] = {0};
+    uint32_t code = 0;
+    for (int l = 1; l <= maxl; l++) {
+        code = (code + (uint32_t)count[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    if (maxl <= PRIMARY_BITS) {
+        for (int s = 0; s < n; s++) {
+            int l = lens[s];
+            if (!l) continue;
+            uint32_t r = rev_bits(next_code[l]++, l);
+            uint32_t step = 1u << l;
+            uint32_t e = (uint32_t)((s << 4) | l);
+            for (uint32_t i = r; i < PRIMARY_SIZE; i += step)
+                t1[i] = e;
+        }
+        return 0;
+    }
+    /* per-prefix max length for sub-table widths */
+    uint8_t subw[PRIMARY_SIZE];
+    memset(subw, 0, sizeof(subw));
+    uint32_t nc2[16];
+    memcpy(nc2, next_code, sizeof(nc2));
+    for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (l <= PRIMARY_BITS) { if (l) nc2[l]++; continue; }
+        uint32_t r = rev_bits(nc2[l]++, l);
+        uint32_t p = r & (PRIMARY_SIZE - 1);
+        if (l - PRIMARY_BITS > subw[p]) subw[p] = (uint8_t)(l - PRIMARY_BITS);
+    }
+    uint32_t off = 0;
+    for (uint32_t p = 0; p < PRIMARY_SIZE; p++) {
+        if (!subw[p]) continue;
+        t1[p] = PTR_FLAG | (off << 4) | subw[p];
+        memset(sub + off, 0, ((size_t)1 << subw[p]) * sizeof(uint16_t));
+        off += 1u << subw[p];
+    }
+    for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (!l) continue;
+        uint32_t r = rev_bits(next_code[l]++, l);
+        if (l <= PRIMARY_BITS) {
+            uint32_t step = 1u << l;
+            uint32_t e = (uint32_t)((s << 4) | l);
+            for (uint32_t i = r; i < PRIMARY_SIZE; i += step)
+                t1[i] = e;
+        } else {
+            uint32_t p = r & (PRIMARY_SIZE - 1);
+            uint32_t e1 = t1[p];
+            uint32_t so = (e1 >> 4) & 0xFFFFFF;
+            uint32_t sb = e1 & 15;
+            uint32_t hi = r >> PRIMARY_BITS;
+            uint32_t step = 1u << (l - PRIMARY_BITS);
+            uint16_t e = (uint16_t)((s << 4) | l);
+            for (uint32_t i = hi; i < (1u << sb); i += step)
+                sub[so + i] = e;
+        }
+    }
+    return 0;
+}
+
 /* RFC 1951 base/extra tables */
 static const uint16_t LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
     35,43,51,59,67,83,99,115,131,163,195,227,258};
@@ -179,10 +263,24 @@ static const uint8_t CODEGEN_ORDER[19] =
     {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
 typedef struct {
-    uint16_t ll[1 << 15];
-    uint16_t d[1 << 15];
+    uint32_t ll1[PRIMARY_SIZE];
+    uint32_t d1[PRIMARY_SIZE];
+    uint16_t ll_sub[1 << 15];
+    uint16_t d_sub[1 << 15];
     uint16_t cg[1 << 7];
 } Tables;
+
+/* one two-level lookup; returns (sym<<4|len) or 0 for invalid */
+static inline uint32_t tbl2_find(const uint32_t *t1, const uint16_t *sub,
+                                 uint32_t peek15) {
+    uint32_t e = t1[peek15 & (PRIMARY_SIZE - 1)];
+    if (e & PTR_FLAG) {
+        uint32_t sb = e & 15;
+        uint32_t so = (e >> 4) & 0xFFFFFF;
+        e = sub[so + ((peek15 >> PRIMARY_BITS) & ((1u << sb) - 1))];
+    }
+    return e;
+}
 
 static int read_code_lens(BitReader *br, Tables *t, int hcount,
                           uint8_t *lens, int arr_len) {
@@ -245,9 +343,9 @@ static int decode_dynamic_header(BitReader *br, Tables *t) {
      * writable range at the declared counts (inflate.zig:146-183) */
     if ((rc = read_code_lens(br, t, (int)hlit, ll_lens, 286))) return rc;
     if ((rc = read_code_lens(br, t, (int)hdist, d_lens, 30))) return rc;
-    if ((rc = build_table(ll_lens, 286, 15, 1, t->ll)))
+    if ((rc = build_table2(ll_lens, 286, 1, t->ll1, t->ll_sub)))
         return rc;
-    if ((rc = build_table(d_lens, 30, 15, 0, t->d)))
+    if ((rc = build_table2(d_lens, 30, 0, t->d1, t->d_sub)))
         return rc;
     return 0;
 }
@@ -261,11 +359,11 @@ static int build_fixed(Tables *t) {
     for (; i < 280; i++) ll[i] = 7;
     for (; i < 288; i++) ll[i] = 8;
     for (i = 0; i < 32; i++) dd[i] = 5;
-    int rc = build_table(ll, 288, 15, 0, t->ll);
+    int rc = build_table2(ll, 288, 0, t->ll1, t->ll_sub);
     if (rc) return rc;
     /* all 32 5-bit distance codes so the table is complete; 30/31 decode
      * and are rejected as InvalidCode like the reference */
-    return build_table(dd, 32, 15, 0, t->d);
+    return build_table2(dd, 32, 0, t->d1, t->d_sub);
 }
 
 /* decode one coded block; returns 0 at EOB or error */
@@ -274,9 +372,9 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
     size_t w = *out_len;
     for (;;) {
         uint32_t peek = br_peek(br, 15);
-        uint16_t e = t->ll[peek];
+        uint32_t e = tbl2_find(t->ll1, t->ll_sub, peek);
         if (!e) return ERR_CODE;
-        uint16_t s = e >> 4;
+        uint32_t s = e >> 4;
         int rc = br_consume(br, e & 15);
         if (rc) return rc;
         if (s < 256) {
@@ -292,9 +390,9 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
             if ((rc = br_read(br, LEXTRA[li], &extra))) return rc;
             uint32_t length = LBASE[li] + extra;
             peek = br_peek(br, 15);
-            uint16_t de = t->d[peek];
+            uint32_t de = tbl2_find(t->d1, t->d_sub, peek);
             if (!de) return ERR_CODE;
-            uint16_t ds = de >> 4;
+            uint32_t ds = de >> 4;
             if ((rc = br_consume(br, de & 15))) return rc;
             if (ds > 29) return ERR_CODE;
             if ((rc = br_read(br, DEXTRA[ds], &extra))) return rc;
@@ -523,9 +621,9 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
         for (;;) {
             if (w >= out_cap) { rc = STREAM_MORE; goto done; }
             uint32_t peek = br_peek(&br, 15);
-            uint16_t e = st->t.ll[peek];
+            uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub, peek);
             if (!e) { rc = ERR_CODE; goto done; }
-            uint16_t s = e >> 4;
+            uint32_t s = e >> 4;
             if ((rc = br_consume(&br, e & 15))) goto done;
             if (s < 256) {
                 st_put(st, out, &w, (uint8_t)s);
@@ -540,9 +638,9 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
                 if ((rc = br_read(&br, LEXTRA[li], &extra))) goto done;
                 uint32_t length = LBASE[li] + extra;
                 peek = br_peek(&br, 15);
-                uint16_t de = st->t.d[peek];
+                uint32_t de = tbl2_find(st->t.d1, st->t.d_sub, peek);
                 if (!de) { rc = ERR_CODE; goto done; }
-                uint16_t ds = de >> 4;
+                uint32_t ds = de >> 4;
                 if ((rc = br_consume(&br, de & 15))) goto done;
                 if (ds > 29) { rc = ERR_CODE; goto done; }
                 if ((rc = br_read(&br, DEXTRA[ds], &extra))) goto done;
