@@ -36,13 +36,13 @@ CTX = consts.MAX_DISTANCE
 
 # kernel-path level knobs: (K candidates, carried words, lazy, max_lazy,
 # K3 3-byte cands, squeeze, parse-block size).  The cost DP (squeeze)
-# runs at levels 4-9 — it takes level 6 from 1.017x to 0.981x of zlib
-# for ~37% more device time; 7-9 add deeper carries and 4 KiB parse
-# blocks (level 9 measured 0.974-0.981x).  Levels 1-3 are the speed
-# tier (level 1 beats zlib-1 greedily).
+# is near-free after the static-column restructure and runs at levels
+# 2 and 4-9; with it the device path beats zlib's compressed size at
+# EVERY level (chip-measured ladder: 0.93-0.99x).  7-9 add deeper
+# word carries and 4 KiB parse blocks for the last ~1%.
 LEVEL_KERNEL = {
     1: (4, 2, False, 0, 0, False, 1024),
-    2: (8, 2, False, 0, 0, False, 1024),
+    2: (8, 2, False, 0, 0, True, 1024),
     3: (12, 4, False, 0, 0, False, 1024),
     4: (16, 4, True, 4, 0, True, 1024),
     5: (24, 8, True, 16, 0, True, 1024),
