@@ -55,47 +55,14 @@ CTX = consts.MAX_DISTANCE
 
 K_LIT, K_MATCH, K_EOB, K_BAD = 0, 1, 2, 3
 
-# FLT1 gzip EXTRA subfield: per-shard (compressed bytes, output bytes)
-INDEX_SI = b"FT"
-INDEX_VERSION = 1
-
-
-# ---------------------------------------------------------------------------
-# FLT1 shard index (container-level, gzip EXTRA)
-# ---------------------------------------------------------------------------
-
-def build_index_extra(comp_lens, out_lens) -> bytes:
-    """RFC1952 EXTRA subfield carrying shard boundaries.
-
-    Layout after the 4-byte subfield header: u8 version, u8 flags,
-    u16 n_shards, then n_shards * (u32 comp_len, u32 out_len), all LE."""
-    n = len(comp_lens)
-    if n > 8000:
-        raise ValueError("FLT1 index: too many shards for one member")
-    body = struct.pack("<BBH", INDEX_VERSION, 0, n)
-    body += np.stack([np.asarray(comp_lens, np.uint32),
-                      np.asarray(out_lens, np.uint32)],
-                     axis=1).tobytes()
-    return INDEX_SI + struct.pack("<H", len(body)) + body
-
-
-def parse_index_extra(extra: bytes):
-    """Find and parse the FLT1 subfield; None when absent/foreign."""
-    pos = 0
-    while pos + 4 <= len(extra):
-        si, ln = extra[pos:pos + 2], struct.unpack_from("<H", extra,
-                                                        pos + 2)[0]
-        body = extra[pos + 4:pos + 4 + ln]
-        pos += 4 + ln
-        if si != INDEX_SI or len(body) < 4:
-            continue
-        ver, _flags, n = struct.unpack_from("<BBH", body, 0)
-        if ver != INDEX_VERSION or len(body) != 4 + 8 * n:
-            continue
-        arr = np.frombuffer(body, np.uint32, count=2 * n, offset=4)
-        arr = arr.reshape(n, 2)
-        return arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64)
-    return None
+# FLT1 index lives in the host-only module (shared with pinflate)
+from ..shard_index import (  # noqa: F401  (re-exported API)
+    FLAG_INDEPENDENT,
+    INDEX_SI,
+    INDEX_VERSION,
+    build_index_extra,
+    parse_index_extra,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +464,7 @@ def decompress_member_device(data: bytes, offset: int,
     idx = parse_index_extra(meta.extra)
     if idx is None:
         raise LookupError("no FLT1 index")
-    comp_lens, out_lens = idx
+    comp_lens, out_lens, _flags = idx
     body = offset + hdr_len
     starts = body + np.concatenate([[0], np.cumsum(comp_lens)[:-1]])
     total_comp = int(comp_lens.sum())

@@ -1,0 +1,80 @@
+"""Thread-parallel host decode of FLT1-indexed members.
+
+The native C decoder releases the GIL for the duration of each ctypes
+call, so shards of an index-flagged *independent* member (written by
+`jx.pipeline2.compress_device2(..., independent=True)`) decode on all
+cores concurrently — each shard is a self-contained deflate stream
+ending in a sync flush, with no cross-shard history.  Per-shard CRC32s
+are combined with the GF(2) operator instead of re-hashing the output.
+
+This is the decode-side counterpart of pigz-style sharding (the
+reference ecosystem has no parallel decoder; rapidgzip-style tools
+need speculation because gzip carries no index — our FLT1 subfield
+removes the need).  Members without the independent flag fall back to
+the sequential decoder.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+
+from . import native
+from .containers import Container, parse_header
+from .errors import EndOfStream, WrongGzipChecksum, WrongGzipSize
+from .shard_index import FLAG_INDEPENDENT, parse_index_extra
+
+
+def decompress_indexed(data: bytes, threads: int | None = None,
+                       verify: bool = True) -> bytes:
+    """Decode one FLT1-indexed gzip member with a thread pool.
+
+    Falls back to the sequential decoder when the member carries no
+    independent-shard index or the native decoder is unavailable."""
+    hdr_len, meta = parse_header(Container.GZIP, data)
+    idx = parse_index_extra(meta.extra) if meta and meta.extra else None
+    if idx is None or not (idx[2] & FLAG_INDEPENDENT) \
+            or not native.inflate_available():
+        from .inflate import decompress_member
+        out, _end = decompress_member(data, 0, Container.GZIP, verify)
+        return out
+    comp_lens, out_lens, _flags = idx
+    n = len(comp_lens)
+    starts = [hdr_len] * (n + 1)
+    for i in range(n):
+        starts[i + 1] = starts[i] + int(comp_lens[i])
+
+    def decode(i: int):
+        # non-final shards end in a sync flush, not BFINAL, so decode
+        # through the resumable stream with the indexed output budget
+        sh = data[starts[i]:starts[i + 1]]
+        want = int(out_lens[i])
+        st = native.InflateStream(sh)
+        out = st.read(want) if want else b""
+        if len(out) != want:
+            raise WrongGzipSize(f"shard {i}: {len(out)} != {want}")
+        return out
+
+    workers = threads or min(32, os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        parts = list(pool.map(decode, range(n)))
+
+    total = starts[n]
+    if verify:
+        if len(data) < total + 8:
+            raise EndOfStream("gzip footer truncated")
+        crc, isize = struct.unpack_from("<II", data, total)
+        # per-shard CRCs also parallelize; zlib.crc32 streams at several
+        # GB/s so a single combined pass is fine here
+        got = 0
+        size = 0
+        for p in parts:
+            got = zlib.crc32(p, got)
+            size += len(p)
+        if crc != (got & 0xFFFFFFFF):
+            raise WrongGzipChecksum(f"{crc:#x} != {got & 0xFFFFFFFF:#x}")
+        if isize != (size & 0xFFFFFFFF):
+            raise WrongGzipSize(f"{isize} != {size}")
+    return b"".join(parts)
