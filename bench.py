@@ -156,6 +156,24 @@ def main() -> None:
         assert out == cd
         dec[name] = {"gbps": round(len(cd) / d / 1e9, 4),
                      "out_bytes": len(cd)}
+    # thread-parallel host decode of an independent indexed member
+    try:
+        from flate_tpu import pinflate
+        ind = dev_compress(data, level=LEVEL, independent=True) \
+            if PIPE == "v2" else None
+        if ind is not None:
+            pinflate.decompress_indexed(ind)      # warm
+            t0 = time.time()
+            out = pinflate.decompress_indexed(ind)
+            d = time.time() - t0
+            assert out == data
+            dec["host_parallel_indexed"] = {
+                "gbps": round(len(data) / d / 1e9, 4),
+                "threads": os.cpu_count(),
+                "indexed_bytes": len(ind)}
+    except Exception as e:
+        detail["host_parallel_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # device inflate of our own FLT1-indexed member (shard-parallel decode)
     if os.environ.get("BENCH_DEV_INFLATE", "1") != "0":
         try:
