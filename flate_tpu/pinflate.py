@@ -16,6 +16,7 @@ the sequential decoder.
 
 from __future__ import annotations
 
+import functools
 import os
 import struct
 import zlib
@@ -55,26 +56,54 @@ def decompress_indexed(data: bytes, threads: int | None = None,
         out = st.read(want) if want else b""
         if len(out) != want:
             raise WrongGzipSize(f"shard {i}: {len(out)} != {want}")
-        return out
+        # per-shard CRC inside the pool (zlib releases the GIL too);
+        # combined below with the GF(2) shift operator
+        return out, zlib.crc32(out) if verify else 0
 
     workers = threads or min(32, os.cpu_count() or 1)
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        parts = list(pool.map(decode, range(n)))
+        results = list(pool.map(decode, range(n)))
+    parts = [r[0] for r in results]
 
     total = starts[n]
     if verify:
         if len(data) < total + 8:
             raise EndOfStream("gzip footer truncated")
         crc, isize = struct.unpack_from("<II", data, total)
-        # per-shard CRCs also parallelize; zlib.crc32 streams at several
-        # GB/s so a single combined pass is fine here
         got = 0
         size = 0
-        for p in parts:
-            got = zlib.crc32(p, got)
+        for p, c in results:
+            got = _combine_cached(got, c, len(p))
             size += len(p)
         if crc != (got & 0xFFFFFFFF):
             raise WrongGzipChecksum(f"{crc:#x} != {got & 0xFFFFFFFF:#x}")
         if isize != (size & 0xFFFFFFFF):
             raise WrongGzipSize(f"{isize} != {size}")
     return b"".join(parts)
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_cols(len2: int):
+    """Columns of the finalized-crc shift-by-len2-zero-bytes operator
+    (crc32_combine(x, 0, len2) is linear in x) + the affine constant."""
+    from .checksums import crc32_combine
+    z = crc32_combine(0, 0, len2)
+    return tuple(crc32_combine(1 << i, 0, len2) ^ z
+                 for i in range(32)), z
+
+
+def _combine_cached(crc1: int, crc2: int, len2: int) -> int:
+    """crc(A||B) with the per-length operator cached — shards share one
+    length, so the GF(2) matrix powers are built once, not per shard."""
+    if len2 <= 0:
+        return crc1 & 0xFFFFFFFF
+    cols, z = _shift_cols(len2)
+    y = z
+    x = crc1
+    i = 0
+    while x:
+        if x & 1:
+            y ^= cols[i]
+        x >>= 1
+        i += 1
+    return (y ^ crc2) & 0xFFFFFFFF
