@@ -322,7 +322,15 @@ def decompress_member(data: bytes, offset: int, container: Container,
 
     dictionary: optional preset history (raw/zlib; zlib streams with the
     FDICT flag require it).  Returns (output, byte offset after the
-    member's footer)."""
+    member's footer).
+
+    Members carrying an independent FLT1 shard index decode thread-
+    parallel on all cores (flate_tpu.pinflate)."""
+    if container is Container.GZIP and dictionary is None:
+        from . import pinflate
+        res = pinflate.try_decompress_indexed(data, offset, verify)
+        if res is not None:
+            return res
     hdr, _meta = parse_header(container, data[offset:],
                               allow_dict=dictionary is not None)
     payload_start = offset + hdr

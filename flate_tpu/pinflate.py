@@ -34,16 +34,32 @@ def decompress_indexed(data: bytes, threads: int | None = None,
 
     Falls back to the sequential decoder when the member carries no
     independent-shard index or the native decoder is unavailable."""
-    hdr_len, meta = parse_header(Container.GZIP, data)
+    res = try_decompress_indexed(data, 0, verify, threads)
+    if res is not None:
+        return res[0]
+    from .inflate import decompress_member
+    out, _end = decompress_member(data, 0, Container.GZIP, verify)
+    return out
+
+
+def try_decompress_indexed(data: bytes, offset: int = 0,
+                           verify: bool = True,
+                           threads: int | None = None):
+    """(bytes, end_offset) for an independent indexed member at
+    `offset`, or None when the fast path does not apply.  Called from
+    inflate.decompress_member so `ft.gzip.decompress` transparently
+    parallelizes on flagged members."""
+    try:
+        hdr_len, meta = parse_header(Container.GZIP, data[offset:])
+    except Exception:
+        return None
     idx = parse_index_extra(meta.extra) if meta and meta.extra else None
     if idx is None or not (idx[2] & FLAG_INDEPENDENT) \
             or not native.inflate_available():
-        from .inflate import decompress_member
-        out, _end = decompress_member(data, 0, Container.GZIP, verify)
-        return out
+        return None
     comp_lens, out_lens, _flags = idx
     n = len(comp_lens)
-    starts = [hdr_len] * (n + 1)
+    starts = [offset + hdr_len] * (n + 1)
     for i in range(n):
         starts[i + 1] = starts[i] + int(comp_lens[i])
 
@@ -79,7 +95,7 @@ def decompress_indexed(data: bytes, threads: int | None = None,
             raise WrongGzipChecksum(f"{crc:#x} != {got & 0xFFFFFFFF:#x}")
         if isize != (size & 0xFFFFFFFF):
             raise WrongGzipSize(f"{isize} != {size}")
-    return b"".join(parts)
+    return b"".join(parts), total + 8
 
 
 @functools.lru_cache(maxsize=64)
