@@ -59,6 +59,12 @@ def try_decompress_indexed(data: bytes, offset: int = 0,
         return None
     comp_lens, out_lens, _flags = idx
     n = len(comp_lens)
+    # the index is attacker-controlled header data: bounds-check before
+    # trusting it (oversized claims fall back to the strict sequential
+    # decoder, which enforces the real protocol errors)
+    if n == 0 or int(comp_lens.sum()) > len(data) - offset \
+            or int(out_lens.max(initial=0)) > (1 << 30):
+        return None
     starts = [offset + hdr_len] * (n + 1)
     for i in range(n):
         starts[i + 1] = starts[i] + int(comp_lens[i])

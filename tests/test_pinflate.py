@@ -59,3 +59,33 @@ def test_interop_plain_gzip_reads_indexed_member():
     import gzip as pygzip
     blob, data = build_indexed_member(_chunks(6))
     assert pygzip.decompress(blob) == data
+
+
+def test_malicious_index_falls_back_or_errors():
+    """The index is attacker-controlled; lying entries must never crash
+    or return wrong data — either the strict sequential decoder takes
+    over (raising its protocol errors) or a FlateError surfaces."""
+    from flate_tpu import errors
+    blob, data = build_indexed_member(_chunks(4))
+    # rewrite the index with oversized comp_lens (points past the end)
+    hdr = bytearray(blob[:100])
+    # find the FT subfield payload and corrupt a comp_len field
+    pos = blob.index(b"FT")
+    bad = bytearray(blob)
+    struct.pack_into("<I", bad, pos + 8, 0x7FFFFFFF)
+    try:
+        out = pinflate.decompress_indexed(bytes(bad))
+        assert out == data          # sequential fallback got it right
+    except errors.FlateError:
+        pass                        # strict error is also acceptable
+
+
+def test_zero_shard_index_falls_back():
+    blob, data = build_indexed_member(_chunks(3))
+    pos = blob.index(b"FT")
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, pos + 6, 0)     # n_shards = 0
+    # index no longer matches its length -> treated as absent
+    from flate_tpu import pinflate as pi
+    out = pi.decompress_indexed(bytes(bad))
+    assert out == data
