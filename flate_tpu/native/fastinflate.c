@@ -371,6 +371,69 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
                         size_t out_cap, size_t *out_len) {
     size_t w = *out_len;
     for (;;) {
+        /* fast path: with >= 48 buffered bits a full symbol (15) + len
+         * extra (5) + dist code (15) + dist extra (13) needs no refill
+         * or end-of-stream checks — outcomes are identical to the
+         * checked path below, which still handles the stream tail */
+        br_fill(br);
+        while (br->nbits >= 48 && w + 258 <= out_cap) {
+            uint32_t e = tbl2_find(t->ll1, t->ll_sub,
+                                   (uint32_t)(br->buf & 0x7FFF));
+            if (!e) return ERR_CODE;
+            br->buf >>= (e & 15);
+            br->nbits -= (e & 15);
+            uint32_t s = e >> 4;
+            if (s < 256) {
+                out[w++] = (uint8_t)s;
+                /* >= 33 bits remain: a second literal is free */
+                e = tbl2_find(t->ll1, t->ll_sub,
+                              (uint32_t)(br->buf & 0x7FFF));
+                if (!e) return ERR_CODE;
+                s = e >> 4;
+                if (s < 256) {
+                    br->buf >>= (e & 15);
+                    br->nbits -= (e & 15);
+                    out[w++] = (uint8_t)s;
+                }
+                br_fill(br);
+                continue;
+            }
+            if (s == 256) {
+                *out_len = w;
+                return 0;
+            }
+            {
+                int li = (int)s - 257;
+                if (li > 28) return ERR_CODE;
+                uint32_t eb = LEXTRA[li];
+                uint32_t length = LBASE[li]
+                    + (uint32_t)(br->buf & ((1u << eb) - 1));
+                br->buf >>= eb;
+                br->nbits -= (int)eb;
+                uint32_t de = tbl2_find(t->d1, t->d_sub,
+                                        (uint32_t)(br->buf & 0x7FFF));
+                if (!de) return ERR_CODE;
+                uint32_t ds = de >> 4;
+                br->buf >>= (de & 15);
+                br->nbits -= (de & 15);
+                if (ds > 29) return ERR_CODE;
+                uint32_t db = DEXTRA[ds];
+                uint32_t dist = DBASE[ds]
+                    + (uint32_t)(br->buf & ((1u << db) - 1));
+                br->buf >>= db;
+                br->nbits -= (int)db;
+                if (dist > w) { *out_len = w; return ERR_MATCH; }
+                const uint8_t *src = out + w - dist;
+                if (dist >= length) {
+                    memcpy(out + w, src, length);
+                } else {
+                    for (uint32_t k = 0; k < length; k++)
+                        out[w + k] = src[k];
+                }
+                w += length;
+            }
+            br_fill(br);
+        }
         uint32_t peek = br_peek(br, 15);
         uint32_t e = tbl2_find(t->ll1, t->ll_sub, peek);
         if (!e) return ERR_CODE;
