@@ -427,8 +427,16 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
                 if (dist >= length) {
                     memcpy(out + w, src, length);
                 } else {
-                    for (uint32_t k = 0; k < length; k++)
-                        out[w + k] = src[k];
+                    /* overlap: seed one period, then double the
+                     * already-written span (disjoint memcpys) */
+                    memcpy(out + w, src, dist);
+                    uint32_t done = dist;
+                    while (done < length) {
+                        uint32_t chunk = done < length - done
+                            ? done : length - done;
+                        memcpy(out + w + done, out + w, chunk);
+                        done += chunk;
+                    }
                 }
                 w += length;
             }
