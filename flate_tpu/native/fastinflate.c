@@ -620,11 +620,36 @@ static void st_save(InfStream *st, const BitReader *br) {
     st->pos = br->pos;
 }
 
-static inline void st_put(InfStream *st, uint8_t *out, size_t *w,
-                          uint8_t b) {
-    out[(*w)++] = b;
-    st->win[st->total_hist & 0xFFFF] = b;
-    st->total_hist++;
+static size_t stream_copy_match(InfStream *st, uint64_t hist0,
+                                uint8_t *out, size_t w, size_t out_cap) {
+    /* copy up to min(mlen_left, budget) bytes of the pending match;
+     * sources start in the ring while dist > w, then slide into out */
+    uint32_t d = st->mdist;
+    while (st->mlen_left && w < out_cap && (uint64_t)d > (uint64_t)w) {
+        out[w] = st->win[(hist0 + w - d) & 0xFFFF];
+        w++;
+        st->mlen_left--;
+    }
+    if (st->mlen_left && w < out_cap) {
+        size_t n = st->mlen_left;
+        size_t room = out_cap - w;
+        if (n > room) n = room;
+        const uint8_t *src = out + w - d;
+        if ((size_t)d >= n) {
+            memcpy(out + w, src, n);
+        } else {
+            memcpy(out + w, src, d);
+            size_t filled = d;
+            while (filled < n) {
+                size_t chunk = filled < n - filled ? filled : n - filled;
+                memcpy(out + w + filled, out + w, chunk);
+                filled += chunk;
+            }
+        }
+        w += n;
+        st->mlen_left -= (uint32_t)n;
+    }
+    return w;
 }
 
 int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
@@ -633,31 +658,32 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
     size_t w = 0;
     BitReader br;
     st_load(st, in, in_len, &br);
+    uint64_t hist0 = st->total_hist;   /* ring is folded lazily at exit */
     int rc = 0;
     for (;;) {
         if (st->stage == 3) { rc = 0; break; }
         if (st->mlen_left) {                       /* resume match copy */
-            while (st->mlen_left) {
-                if (w >= out_cap) { rc = STREAM_MORE; goto done; }
-                uint8_t b = st->win[(st->total_hist - st->mdist) & 0xFFFF];
-                st_put(st, out, &w, b);
-                st->mlen_left--;
-            }
+            w = stream_copy_match(st, hist0, out, w, out_cap);
+            if (st->mlen_left) { rc = STREAM_MORE; goto done; }
         }
         if (st->stage == 1) {                      /* stored payload */
+            while (st->stored_left && br.nbits >= 8) {
+                if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+                out[w++] = (uint8_t)(br.buf & 0xFF);
+                br.buf >>= 8;
+                br.nbits -= 8;
+                st->stored_left--;
+            }
             while (st->stored_left) {
                 if (w >= out_cap) { rc = STREAM_MORE; goto done; }
-                if (br.nbits >= 8) {
-                    st_put(st, out, &w, (uint8_t)(br.buf & 0xFF));
-                    br.buf >>= 8;
-                    br.nbits -= 8;
-                } else if (br.pos < br.in_len) {
-                    st_put(st, out, &w, br.in[br.pos++]);
-                } else {
-                    rc = ERR_EOS;
-                    goto done;
-                }
-                st->stored_left--;
+                size_t n = st->stored_left;
+                if (n > out_cap - w) n = out_cap - w;
+                if (br.pos >= br.in_len) { rc = ERR_EOS; goto done; }
+                if (n > br.in_len - br.pos) n = br.in_len - br.pos;
+                memcpy(out + w, br.in + br.pos, n);
+                w += n;
+                br.pos += n;
+                st->stored_left -= (uint32_t)n;
             }
             st->stage = st->bfinal ? 3 : 0;
             if (st->stage == 3) { st->end_bit = br_bitpos(&br); }
@@ -690,6 +716,64 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
         }
         /* stage 2: coded block symbol loop */
         for (;;) {
+            /* fast path: >= 48 buffered bits and room for a full match */
+            br_fill(&br);
+            while (br.nbits >= 48 && w + 258 <= out_cap) {
+                uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub,
+                                       (uint32_t)(br.buf & 0x7FFF));
+                if (!e) { rc = ERR_CODE; goto done; }
+                br.buf >>= (e & 15);
+                br.nbits -= (e & 15);
+                uint32_t s = e >> 4;
+                if (s < 256) {
+                    out[w++] = (uint8_t)s;
+                    e = tbl2_find(st->t.ll1, st->t.ll_sub,
+                                  (uint32_t)(br.buf & 0x7FFF));
+                    if (!e) { rc = ERR_CODE; goto done; }
+                    s = e >> 4;
+                    if (s < 256) {
+                        br.buf >>= (e & 15);
+                        br.nbits -= (e & 15);
+                        out[w++] = (uint8_t)s;
+                    }
+                    br_fill(&br);
+                    continue;
+                }
+                if (s == 256) {
+                    st->stage = st->bfinal ? 3 : 0;
+                    if (st->stage == 3) st->end_bit = br_bitpos(&br);
+                    goto block_end;
+                }
+                {
+                    int li = (int)s - 257;
+                    if (li > 28) { rc = ERR_CODE; goto done; }
+                    uint32_t eb = LEXTRA[li];
+                    uint32_t length = LBASE[li]
+                        + (uint32_t)(br.buf & ((1u << eb) - 1));
+                    br.buf >>= eb;
+                    br.nbits -= (int)eb;
+                    uint32_t de = tbl2_find(st->t.d1, st->t.d_sub,
+                                            (uint32_t)(br.buf & 0x7FFF));
+                    if (!de) { rc = ERR_CODE; goto done; }
+                    uint32_t ds = de >> 4;
+                    br.buf >>= (de & 15);
+                    br.nbits -= (de & 15);
+                    if (ds > 29) { rc = ERR_CODE; goto done; }
+                    uint32_t db = DEXTRA[ds];
+                    uint32_t dist = DBASE[ds]
+                        + (uint32_t)(br.buf & ((1u << db) - 1));
+                    br.buf >>= db;
+                    br.nbits -= (int)db;
+                    if ((uint64_t)dist > hist0 + w) {
+                        rc = ERR_MATCH; goto done;
+                    }
+                    st->mdist = dist;
+                    st->mlen_left = length;
+                    w = stream_copy_match(st, hist0, out, w, out_cap);
+                }
+                br_fill(&br);
+            }
+            /* checked path (stream tail / tight budgets) */
             if (w >= out_cap) { rc = STREAM_MORE; goto done; }
             uint32_t peek = br_peek(&br, 15);
             uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub, peek);
@@ -697,13 +781,13 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
             uint32_t s = e >> 4;
             if ((rc = br_consume(&br, e & 15))) goto done;
             if (s < 256) {
-                st_put(st, out, &w, (uint8_t)s);
+                out[w++] = (uint8_t)s;
             } else if (s == 256) {
                 st->stage = st->bfinal ? 3 : 0;
                 if (st->stage == 3) st->end_bit = br_bitpos(&br);
                 break;
             } else {
-                int li = s - 257;
+                int li = (int)s - 257;
                 uint32_t extra;
                 if (li > 28) { rc = ERR_CODE; goto done; }
                 if ((rc = br_read(&br, LEXTRA[li], &extra))) goto done;
@@ -716,20 +800,23 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
                 if (ds > 29) { rc = ERR_CODE; goto done; }
                 if ((rc = br_read(&br, DEXTRA[ds], &extra))) goto done;
                 uint32_t dist = DBASE[ds] + extra;
-                if (dist > st->total_hist) { rc = ERR_MATCH; goto done; }
+                if ((uint64_t)dist > hist0 + w) { rc = ERR_MATCH; goto done; }
                 st->mdist = dist;
                 st->mlen_left = length;
-                while (st->mlen_left) {
-                    if (w >= out_cap) { rc = STREAM_MORE; goto done; }
-                    uint8_t b =
-                        st->win[(st->total_hist - st->mdist) & 0xFFFF];
-                    st_put(st, out, &w, b);
-                    st->mlen_left--;
-                }
+                w = stream_copy_match(st, hist0, out, w, out_cap);
+                if (st->mlen_left) { rc = STREAM_MORE; goto done; }
             }
         }
+block_end:;
     }
 done:
+    /* fold this call's output tail into the 64K history ring */
+    {
+        size_t keep = w < (size_t)(1 << 16) ? w : (size_t)(1 << 16);
+        for (size_t i = 0; i < keep; i++)
+            st->win[(hist0 + w - keep + i) & 0xFFFF] = out[w - keep + i];
+        st->total_hist = hist0 + w;
+    }
     st_save(st, &br);
     *out_written = w;
     return rc;
