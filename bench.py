@@ -11,12 +11,21 @@ sizes vs zlib, and compile/transfer accounting.  Corpora are
 deterministic in-repo stand-ins (zero egress; the originals are
 network-fetched).
 
+Resilience (reference bench.rb runs hyperfine once per metric —
+bench.rb:21-67): each section runs in its OWN subprocess with a timeout
+and one retry, so a mid-run backend failure voids only that section,
+never the record.  Timed sections use hyperfine semantics: 1 warmup +
+3 runs, best + stddev reported (bench.rb:5-15).
+
 Env knobs: BENCH_CORPUS_MB (default 64), BENCH_LEVEL (6),
-BENCH_LADDER=none|small|full (small: levels 1/6/9), BENCH_PIPE=v2|v1.
+BENCH_LADDER=none|small|full (small: levels 1/6/9), BENCH_PIPE=v2|v1,
+BENCH_RUNS (3), BENCH_PROFILE=1 per-stage timings + jax.profiler trace.
 """
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 import zlib
@@ -28,6 +37,11 @@ CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "64"))
 LEVEL = int(os.environ.get("BENCH_LEVEL", "6"))
 LADDER = os.environ.get("BENCH_LADDER", "small")
 PIPE = os.environ.get("BENCH_PIPE", "v2")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+SECTIONS = ("headline", "ladder", "inflate", "device_inflate")
+TIMEOUTS = {"headline": 3600, "ladder": 3600,
+            "inflate": 1500, "device_inflate": 2400}
 
 
 def build_corpus(size: int) -> bytes:
@@ -69,71 +83,96 @@ def mixed_corpus(size: int) -> bytes:
     return b"".join(blocks)[:size]
 
 
-def bench_encode(compress, data, warm=True):
-    if warm:
-        t0 = time.time()
-        compress(data[: 4 * 1024 * 1024])
-        compile_s = time.time() - t0
-    else:
-        compile_s = 0.0
+def timed_best(fn, runs: int = RUNS, warmup: int = 1):
+    """hyperfine semantics: warmup, then `runs` timed calls.
+    Returns (result, best_seconds, stddev_seconds, warmup_seconds)."""
     t0 = time.time()
-    blob = compress(data)
-    dt = time.time() - t0
-    return blob, dt, compile_s
+    for _ in range(warmup):
+        r = fn()
+    warm_s = time.time() - t0
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        r = fn()
+        times.append(time.time() - t0)
+    sd = statistics.stdev(times) if len(times) > 1 else 0.0
+    return r, min(times), sd, warm_s
 
 
-def main() -> None:
-    import gzip as pygz
-
-    import flate_tpu as ft
-
+def _dev_compress():
     if PIPE == "v2":
-        from flate_tpu.jx.pipeline2 import compress_device2 as dev_compress
+        from flate_tpu.jx.pipeline2 import compress_device2 as dc
     else:
-        from flate_tpu.jx.pipeline import compress_device as dev_compress
+        from flate_tpu.jx.pipeline import compress_device as dc
+    return dc
 
+
+# ---------------------------------------------------------------------------
+# Sections (each runs in its own subprocess; prints one JSON line)
+# ---------------------------------------------------------------------------
+
+def sec_headline() -> dict:
+    import gzip as pygz
+    dev_compress = _dev_compress()
     data = build_corpus(CORPUS_MB * 1024 * 1024)
 
-    # ---- headline: level-6 encode ----
-    blob, dt, compile_s = bench_encode(
-        lambda d: dev_compress(d, level=LEVEL), data)
-    gbps = len(data) / dt / 1e9
+    t0 = time.time()
+    dev_compress(data[: 4 * 1024 * 1024], level=LEVEL)  # compile
+    compile_s = time.time() - t0
+    blob, best_s, sd, _ = timed_best(lambda: dev_compress(data, level=LEVEL))
+    gbps = len(data) / best_s / 1e9
     ok = pygz.decompress(blob) == data
     zl = zlib.compress(data, LEVEL)
-    detail = {
+    out = {
+        "gbps": round(gbps, 4),
         "corpus_bytes": len(data),
         "compressed_bytes": len(blob),
         "ratio": round(len(blob) / len(data), 4),
         "zlib_bytes": len(zl),
         "size_vs_zlib": round(len(blob) / len(zl), 4),
         "roundtrip_ok": bool(ok),
-        "encode_seconds": round(dt, 3),
+        "encode_seconds_best": round(best_s, 3),
+        "encode_seconds_stddev": round(sd, 4),
+        "runs": RUNS,
         "compile_seconds": round(compile_s, 1),
         "level": LEVEL,
         "pipeline": PIPE,
     }
+    if os.environ.get("BENCH_PROFILE") == "1" and PIPE == "v2":
+        try:
+            out["stage_profile"] = _stage_profile(data)
+        except Exception as e:  # pragma: no cover
+            out["stage_profile_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
-    # ---- encode ladder ----
-    if LADDER != "none":
-        levels = range(1, 10) if LADDER == "full" else (1, 6, 9)
-        lad = {}
-        ldata = data[: min(len(data), 16 * 1024 * 1024)]
-        for lv in levels:
-            try:
-                b2, d2, _ = bench_encode(
-                    lambda d: dev_compress(d, level=lv), ldata)
-                lad[str(lv)] = {
-                    "gbps": round(len(ldata) / d2 / 1e9, 4),
-                    "bytes": len(b2),
-                    "vs_zlib": round(
-                        len(b2) / len(zlib.compress(ldata, lv)), 4),
-                    "ok": pygz.decompress(b2) == ldata,
-                }
-            except Exception as e:             # pragma: no cover
-                lad[str(lv)] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        detail["ladder"] = lad
 
-    # ---- inflate bench: 4 corpora (reference bin/inflate_bench.zig) ----
+def sec_ladder() -> dict:
+    import gzip as pygz
+    dev_compress = _dev_compress()
+    data = build_corpus(min(CORPUS_MB, 16) * 1024 * 1024)
+    levels = range(1, 10) if LADDER == "full" else (1, 6, 9)
+    lad = {}
+    for lv in levels:
+        try:
+            blob, best_s, sd, _ = timed_best(
+                lambda lv=lv: dev_compress(data, level=lv))
+            lad[str(lv)] = {
+                "gbps": round(len(data) / best_s / 1e9, 4),
+                "stddev_s": round(sd, 4),
+                "bytes": len(blob),
+                "vs_zlib": round(
+                    len(blob) / len(zlib.compress(data, lv)), 4),
+                "ok": pygz.decompress(blob) == data,
+            }
+        except Exception as e:  # pragma: no cover
+            lad[str(lv)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return {"ladder": lad, "ladder_bytes": len(data)}
+
+
+def sec_inflate() -> dict:
+    import struct
+    import flate_tpu as ft
+    data = build_corpus(CORPUS_MB * 1024 * 1024)
     dec = {}
     corpora = {
         "srctar": data[: min(len(data), 32 * 1024 * 1024)],
@@ -141,106 +180,170 @@ def main() -> None:
         "large": mixed_corpus(11_162_624),
         "cantrbry": mixed_corpus(2_821_120),
     }
-    import struct
-
-    decode_fn = ft.gzip.decompress
-    dec_mode = "host-native"
     for name, cd in corpora.items():
         gz = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + \
             zlib.compress(cd, 6)[2:-4] + \
             struct.pack("<II", zlib.crc32(cd), len(cd) & 0xFFFFFFFF)
-        decode_fn(gz)  # warm
-        t0 = time.time()
-        out = decode_fn(gz)
-        d = time.time() - t0
+        out, best_s, sd, _ = timed_best(lambda gz=gz: ft.gzip.decompress(gz))
         assert out == cd
-        dec[name] = {"gbps": round(len(cd) / d / 1e9, 4),
-                     "out_bytes": len(cd)}
+        dec[name] = {"gbps": round(len(cd) / best_s / 1e9, 4),
+                     "stddev_s": round(sd, 4), "out_bytes": len(cd)}
+    res = {"inflate": dec, "decode_gbps_host": dec["srctar"]["gbps"],
+           "inflate_vs_baseline": round(
+               dec["srctar"]["gbps"] / BASELINE_DEC_GBPS, 3)}
     # thread-parallel host decode of an independent indexed member
     try:
         from flate_tpu import pinflate
-        ind = dev_compress(data, level=LEVEL, independent=True) \
-            if PIPE == "v2" else None
-        if ind is not None:
-            pinflate.decompress_indexed(ind)      # warm
-            t0 = time.time()
-            out = pinflate.decompress_indexed(ind)
-            d = time.time() - t0
+        dev_compress = _dev_compress()
+        if PIPE == "v2":
+            ind = dev_compress(data, level=LEVEL, independent=True)
+            out, best_s, sd, _ = timed_best(
+                lambda: pinflate.decompress_indexed(ind))
             assert out == data
             dec["host_parallel_indexed"] = {
-                "gbps": round(len(data) / d / 1e9, 4),
+                "gbps": round(len(data) / best_s / 1e9, 4),
+                "stddev_s": round(sd, 4),
                 "threads": os.cpu_count(),
                 "indexed_bytes": len(ind)}
     except Exception as e:
-        detail["host_parallel_error"] = f"{type(e).__name__}: {e}"[:200]
+        res["host_parallel_error"] = f"{type(e).__name__}: {e}"[:200]
+    return res
 
-    # device inflate of our own FLT1-indexed member (shard-parallel decode)
-    if os.environ.get("BENCH_DEV_INFLATE", "1") != "0":
-        try:
-            from flate_tpu.jx import inflate2
-            inflate2.decompress_device(blob)  # warm/compile
-            t0 = time.time()
-            out = inflate2.decompress_device(blob)
-            d = time.time() - t0
-            assert out == data
-            dec["device_indexed"] = {
-                "gbps": round(len(data) / d / 1e9, 4),
-                "out_bytes": len(data)}
-            dec_mode = "device+host"
-        except Exception as e:
-            detail["device_inflate_error"] = \
-                f"{type(e).__name__}: {e}"[:200]
-    detail["inflate"] = dec
-    detail["inflate_mode"] = dec_mode
-    detail["decode_gbps_host"] = dec["srctar"]["gbps"]
-    detail["inflate_vs_baseline"] = round(
-        dec["srctar"]["gbps"] / BASELINE_DEC_GBPS, 3)
 
-    # ---- optional per-stage device profile (BENCH_PROFILE=1) ----
-    if os.environ.get("BENCH_PROFILE") == "1" and PIPE == "v2":
-        import numpy as _np
-        import jax as _jax
-        import jax.numpy as _jnp
-        from flate_tpu import consts as _c
-        from flate_tpu.jx import pipeline2 as _pp
+def sec_device_inflate() -> dict:
+    data = build_corpus(CORPUS_MB * 1024 * 1024)
+    dev_compress = _dev_compress()
+    from flate_tpu.jx import inflate2
+    res = {}
+    # our own FLT1-indexed member (shard-parallel decode)
+    blob = dev_compress(data, level=LEVEL)
+    out, best_s, sd, _ = timed_best(lambda: inflate2.decompress_device(blob))
+    assert out == data
+    res["device_indexed"] = {
+        "gbps": round(len(data) / best_s / 1e9, 4),
+        "stddev_s": round(sd, 4), "out_bytes": len(data)}
+    # arbitrary unindexed gzip (zlib-produced — the north-star shape)
+    try:
+        import struct
+        cd = data[: min(len(data), 32 * 1024 * 1024)]
+        gz = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + \
+            zlib.compress(cd, 6)[2:-4] + \
+            struct.pack("<II", zlib.crc32(cd), len(cd) & 0xFFFFFFFF)
+        out, best_s, sd, _ = timed_best(
+            lambda: inflate2.decompress_device_any(gz))
+        assert out == cd
+        res["device_unindexed"] = {
+            "gbps": round(len(cd) / best_s / 1e9, 4),
+            "stddev_s": round(sd, 4), "out_bytes": len(cd)}
+    except AttributeError:
+        res["device_unindexed"] = {"error": "not implemented"}
+    except Exception as e:
+        res["device_unindexed"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return res
 
-        S, ctx, batch = _c.SHARD_LEN, _pp.CTX, 32
-        K, nw, lz, mx, K3, sqz, blk = _pp.LEVEL_KERNEL[LEVEL]
-        arr = _np.frombuffer(data[: batch * S], _np.uint8)
-        sh_np = _np.zeros((batch, S), _np.uint8)
-        sh_np.reshape(-1)[: arr.size] = arr
-        sh = _jnp.asarray(sh_np)
-        c0 = _jnp.asarray(_np.zeros(ctx, _np.uint8))
-        cl = _jnp.asarray(_np.full(batch, ctx, _np.int32))
-        vl = _jnp.asarray(_np.full(batch, S, _np.int32))
-        fnl = _jnp.asarray(_np.zeros(batch, _np.int32))
 
-        def sync_ms(f, n=10):
+def _stage_profile(data: bytes) -> dict:
+    import numpy as _np
+    import jax as _jax
+    import jax.numpy as _jnp
+    from flate_tpu import consts as _c
+    from flate_tpu.jx import pipeline2 as _pp
+
+    S, ctx, batch = _c.SHARD_LEN, _pp.CTX, 32
+    K, nw, lz, mx, K3, sqz, blk = _pp.LEVEL_KERNEL[LEVEL]
+    arr = _np.frombuffer(data[: batch * S], _np.uint8)
+    sh_np = _np.zeros((batch, S), _np.uint8)
+    sh_np.reshape(-1)[: arr.size] = arr
+    sh = _jnp.asarray(sh_np)
+    c0 = _jnp.asarray(_np.zeros(ctx, _np.uint8))
+    cl = _jnp.asarray(_np.full(batch, ctx, _np.int32))
+    vl = _jnp.asarray(_np.full(batch, S, _np.int32))
+    fnl = _jnp.asarray(_np.zeros(batch, _np.int32))
+
+    def sync_ms(f, n=10):
+        r = f()
+        _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+        t0 = time.perf_counter()
+        for _ in range(n):
             r = f()
-            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = f()
-            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
-            return round((time.perf_counter() - t0) / n * 1e3, 1)
+        _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+        return round((time.perf_counter() - t0) / n * 1e3, 1)
 
-        win = _pp._prime_windows(sh, c0, ctx=ctx)
-        ml, md = _pp.match2.find_matches_fused(win, cl, vl, K=K, nw=nw,
-                                               ctx=ctx, K3=K3)
-        prof = {
-            "batch_mb": batch * S / 1e6,
-            "match_ms": sync_ms(lambda: _pp.match2.find_matches_fused(
-                win, cl, vl, K=K, nw=nw, ctx=ctx, K3=K3)),
-            "parse_ms": sync_ms(lambda: _pp._parse_stage(
-                ml, md, lazy=lz, max_lazy=mx, ctx=ctx, blk=blk)),
-            "e2e_ms": sync_ms(lambda: _pp.encode_batch_staged(
+    win = _pp._prime_windows(sh, c0, ctx=ctx)
+    ml, md = _pp.match2.find_matches_fused(win, cl, vl, K=K, nw=nw,
+                                           ctx=ctx, K3=K3)
+    prof = {
+        "batch_mb": batch * S / 1e6,
+        "match_ms": sync_ms(lambda: _pp.match2.find_matches_fused(
+            win, cl, vl, K=K, nw=nw, ctx=ctx, K3=K3)),
+        "parse_ms": sync_ms(lambda: _pp._parse_stage(
+            ml, md, lazy=lz, max_lazy=mx, ctx=ctx, blk=blk)),
+        "e2e_ms": sync_ms(lambda: _pp.encode_batch_staged(
+            sh, c0, cl, vl, fnl, S=S, ctx=ctx, K=K, nw=nw, lazy=lz,
+            max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)),
+    }
+    prof["device_gbps"] = round(batch * S / prof["e2e_ms"] / 1e6, 4)
+    # jax.profiler trace of one e2e batch (SURVEY §5 tracing obligation)
+    trace_dir = os.environ.get("BENCH_TRACE_DIR", "/tmp/flate_tpu_trace")
+    try:
+        with _jax.profiler.trace(trace_dir):
+            r = _pp.encode_batch_staged(
                 sh, c0, cl, vl, fnl, S=S, ctx=ctx, K=K, nw=nw, lazy=lz,
-                max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)),
-        }
-        prof["device_gbps"] = round(
-            batch * S / prof["e2e_ms"] / 1e6, 4)
-        detail["stage_profile"] = prof
+                max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)
+            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+        prof["trace_dir"] = trace_dir
+    except Exception as e:  # pragma: no cover
+        prof["trace_error"] = f"{type(e).__name__}: {e}"[:120]
+    return prof
 
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def run_section(name: str) -> dict:
+    """Run one section in a subprocess (fresh backend); one retry."""
+    for attempt in (1, 2):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name],
+                capture_output=True, timeout=TIMEOUTS[name],
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            lines = [ln for ln in p.stdout.decode().splitlines()
+                     if ln.startswith("{")]
+            if p.returncode == 0 and lines:
+                return json.loads(lines[-1])
+            err = (p.stderr.decode()[-400:] or
+                   f"rc={p.returncode}, no JSON")
+        except subprocess.TimeoutExpired:
+            err = f"timeout after {TIMEOUTS[name]}s"
+        except Exception as e:  # pragma: no cover
+            err = f"{type(e).__name__}: {e}"
+        if attempt == 2:
+            return {"error": err[:400], "section": name}
+        time.sleep(5)
+    return {"error": "unreachable"}
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        fn = {"headline": sec_headline, "ladder": sec_ladder,
+              "inflate": sec_inflate,
+              "device_inflate": sec_device_inflate}[sys.argv[2]]
+        print(json.dumps(fn()))
+        return
+
+    detail: dict = {}
+    head = run_section("headline")
+    detail.update(head)
+    if LADDER != "none":
+        detail.update(run_section("ladder"))
+    detail.update(run_section("inflate"))
+    if os.environ.get("BENCH_DEV_INFLATE", "1") != "0":
+        detail.update(run_section("device_inflate"))
+
+    gbps = head.get("gbps", 0.0)
     print(json.dumps({
         "metric": "gzip_level6_encode_throughput",
         "value": round(gbps, 4),
@@ -248,7 +351,9 @@ def main() -> None:
         "vs_baseline": round(gbps / BASELINE_GBPS, 3),
         "detail": detail,
     }))
-    if not ok:
+    # exit 0 whenever the headline measured and roundtripped; section
+    # errors are recorded in detail rather than voiding the record
+    if "error" in head or not head.get("roundtrip_ok", False):
         sys.exit(1)
 
 

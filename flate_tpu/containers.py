@@ -49,6 +49,7 @@ class GzipMetadata:
     mtime: int = 0
     os: int = 3  # unix
     text: bool = False
+    hcrc: bool = False  # write FHCRC: CRC16 of the header bytes
 
 
 @dataclass
@@ -90,6 +91,8 @@ def write_header(container: Container, meta: Optional[GzipMetadata] = None,
         flags = 0
         if meta.text:
             flags |= FLG_FTEXT
+        if meta.hcrc:
+            flags |= FLG_FHCRC
         if meta.extra is not None:
             flags |= FLG_FEXTRA
         if meta.filename is not None:
@@ -105,13 +108,16 @@ def write_header(container: Container, meta: Optional[GzipMetadata] = None,
             out += meta.filename + b"\x00"
         if meta.comment is not None:
             out += meta.comment + b"\x00"
+        if meta.hcrc:
+            # FHCRC = low 16 bits of the CRC32 of all header bytes so
+            # far (RFC 1952 §2.3.1; read side verifies the same way)
+            out += struct.pack("<H", checksums.crc32(bytes(out)) & 0xFFFF)
         return bytes(out)
     if container is Container.ZLIB:
         if dictionary is not None:
             # FDICT set: recompute FCHECK, append DICTID (RFC 1950 §2.2)
             flg = 0x20 | (2 << 6)
             flg |= (31 - ((0x78 << 8 | flg) % 31)) % 31
-            from . import checksums
             return bytes([0x78, flg]) + struct.pack(
                 ">I", checksums.adler32(dictionary))
         # CM=8 CINFO=7 (32K window), FLEVEL=default, FCHECK -> 0x78 0x9c

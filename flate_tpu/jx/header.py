@@ -39,11 +39,28 @@ BIG = jnp.int32(1 << 20)
 
 
 def _cummax(x, axis):
-    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    # saturating static-shift doubling instead of lax.associative_scan:
+    # the latter miscompiles on the real TPU backend (see memory/
+    # axon-tpu-quirks and the equivalent loops in jx/match.py, runs.py)
+    assert axis == 1
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        pad = jnp.full_like(x[:, :s], -BIG)
+        x = jnp.maximum(x, jnp.concatenate([pad, x[:, :-s]], axis=1))
+        s *= 2
+    return x
 
 
 def _cummin_rev(x, axis):
-    return jax.lax.associative_scan(jnp.minimum, x, axis=axis, reverse=True)
+    assert axis == 1
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        pad = jnp.full_like(x[:, :s], BIG)
+        x = jnp.minimum(x, jnp.concatenate([x[:, s:], pad], axis=1))
+        s *= 2
+    return x
 
 
 def _rle_emit(v: jnp.ndarray, live: jnp.ndarray):

@@ -483,38 +483,46 @@ def decompress_member_device(data: bytes, offset: int,
         for j in range(i, i + nb):
             sh = data[starts[j]:starts[j] + int(comp_lens[j])]
             plans.append((plan_shard(sh, int(out_lens[j])), sh))
-        # stored shards resolve on host (pure memcpy)
-        coded = [j for j, (p, _) in enumerate(plans) if p.kind == "coded"]
-        results: list = [None] * nb
-        for j, (p, sh) in enumerate(plans):
+        # process shards strictly in member order: stored shards flush
+        # to `out` on host (pure memcpy); consecutive runs of coded
+        # shards dispatch together with ctx0 taken from the already-
+        # flushed history, so back-references across a preceding stored
+        # shard resolve against real bytes (batch rows must be
+        # member-consecutive for in-batch back-references)
+        j = 0
+        while j < nb:
+            p, sh = plans[j]
             if p.kind == "stored":
                 buf = bytearray()
                 for off, ln in p.stored_spans:
                     buf += sh[off:off + ln]
-                results[j] = bytes(buf[:p.out_len])
-        if coded:
-            cmax = _bucket(max(int(comp_lens[i + j]) for j in coded))
-            Bc = len(coded)
+                r = bytes(buf[:p.out_len])
+                out += r
+                hasher.update(r)
+                j += 1
+                continue
+            k = j
+            while k < nb and plans[k][0].kind == "coded":
+                k += 1
+            run = list(range(j, k))
+            cmax = _bucket(max(len(plans[jj][1]) for jj in run))
+            Bc = len(run)
             comp_a = np.zeros((Bc, cmax), np.uint8)
             meta = np.zeros((Bc, 3), np.int32)
-            sc = {k: np.zeros((Bc, 16), np.uint32) for k in ("lll", "lld")}
-            kb = {k: np.zeros((Bc, 16), np.int32) for k in ("lll", "lld")}
+            sc = {k2: np.zeros((Bc, 16), np.uint32) for k2 in ("lll", "lld")}
+            kb = {k2: np.zeros((Bc, 16), np.int32) for k2 in ("lll", "lld")}
             sy_ll = np.zeros((Bc, 288), np.int32)
             sy_d = np.zeros((Bc, 32), np.int32)
-            for bi, j in enumerate(coded):
-                p, sh = plans[j]
-                comp_a[bi, :len(sh)] = np.frombuffer(sh, np.uint8)
-                meta[bi] = (len(sh), p.start_bit, p.out_len)
-                sc["lll"][bi], kb["lll"][bi], sy_ll[bi] = p.ll
-                sc["lld"][bi], kb["lld"][bi], sy_d[bi] = p.d
+            for bi, jj in enumerate(run):
+                p2, sh2 = plans[jj]
+                comp_a[bi, :len(sh2)] = np.frombuffer(sh2, np.uint8)
+                meta[bi] = (len(sh2), p2.start_bit, p2.out_len)
+                sc["lll"][bi], kb["lll"][bi], sy_ll[bi] = p2.ll
+                sc["lld"][bi], kb["lld"][bi], sy_d[bi] = p2.d
             ctx0 = np.zeros(CTX, np.uint8)
             hist = bytes(out[-CTX:])
             if hist:
                 ctx0[CTX - len(hist):] = np.frombuffer(hist, np.uint8)
-            # batch rows must be member-consecutive for in-batch
-            # back-references; host-resolved stored shards in between
-            # break that, so decode coded runs one contiguous run at a
-            # time when mixed
             dev_out, err, _ = decode_batch(
                 jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
                 jnp.asarray(meta[:, 1]),
@@ -528,16 +536,11 @@ def decompress_member_device(data: bytes, offset: int,
             out_np = np.asarray(dev_out).reshape(Bc, S)
             if err_np.any():
                 raise InvalidCode("device decode failed")
-            if coded != list(range(nb)) and len(coded) > 1:
-                # mixed batch: only safe when each coded run is
-                # self-contained; conservative fallback
-                raise LookupError("mixed stored/coded batch")
-            for bi, j in enumerate(coded):
-                p, _ = plans[j]
-                results[j] = out_np[bi, :p.out_len].tobytes()
-        for r in results:
-            out += r
-            hasher.update(r)
+            for bi, jj in enumerate(run):
+                r = out_np[bi, :plans[jj][0].out_len].tobytes()
+                out += r
+                hasher.update(r)
+            j = k
         i += nb
 
     foot_off = body + total_comp

@@ -52,6 +52,11 @@ static void br_init(BitReader *br, const uint8_t *in, size_t in_len,
 }
 
 static inline void br_fill(BitReader *br) {
+    /* the slow path below (and rebase-after-append resumption) can
+     * leave nbits at up to 64; the fast path's shift math is only
+     * valid for nbits < 56, so bail when already full enough */
+    if (br->nbits >= 56)
+        return;
     if (br->pos + 8 <= br->in_len) {
         /* one unaligned 8-byte load; mask back to the credited count so
          * bits above nbits stay zero (the stored-block paths advance

@@ -62,23 +62,49 @@ def initialize(coordinator: str | None = None,
 def compress_to_regions(data: bytes, mesh=None, level: int = 6,
                         container: Container = Container.GZIP,
                         shard_len: int = consts.SHARD_LEN,
+                        per_device: int = 4, by: str = "process",
                         **kw):
     """Mesh-compress and return (stream, regions).
 
-    regions[h] = (file_offset, nbytes) for host h's contiguous span of
-    shard payloads (header belongs to host 0, footer to the last host).
-    The offsets come from the per-shard compressed lengths — the same
-    all-gather the splice already performs — so each host can
-    `pwrite()` its span of a shared file independently."""
-    blob = compress_mesh2(data, mesh, level=level, container=container,
-                          shard_len=shard_len, **kw)
-    nproc = jax.process_count()
-    n = len(blob)
-    # contiguous equal spans by process (shard ownership is round-robin
-    # over devices, i.e. process-contiguous for the batch layout)
-    per = -(-n // max(1, nproc))
-    regions = [(h * per, min(per, n - h * per)) for h in range(nproc)
-               if h * per < n]
+    regions[o] = list of (file_offset, nbytes) spans owned by owner o
+    (o = process by default, or device with by="device"), derived from
+    the per-shard compressed lengths by ownership: shard s lives in
+    batch row s % batch, which device (s % batch) // per_device
+    encoded.  The header belongs to owner 0 and the footer to the last
+    owner, so each host can `pwrite()` exactly the bytes its own
+    devices produced into a shared file — no payload crosses DCN.
+    Adjacent spans of one owner are merged."""
+    mesh = mesh if mesh is not None else make_mesh()
+    blob, comp_lens, hdr_len, foot_len = compress_mesh2(
+        data, mesh, level=level, container=container,
+        shard_len=shard_len, per_device=per_device, return_lens=True,
+        **kw)
+    devs = list(mesh.devices.flat)
+    batch = len(devs) * per_device
+    if by == "device":
+        owner_of = list(range(len(devs)))
+        nowners = len(devs)
+    else:
+        owner_of = [d.process_index for d in devs]
+        nowners = jax.process_count()
+    regions: list[list[tuple[int, int]]] = [[] for _ in range(nowners)]
+
+    def add(o: int, off: int, ln: int) -> None:
+        if ln <= 0:
+            return
+        if regions[o] and regions[o][-1][0] + regions[o][-1][1] == off:
+            prev_off, prev_ln = regions[o][-1]
+            regions[o][-1] = (prev_off, prev_ln + ln)
+        else:
+            regions[o].append((off, ln))
+
+    add(0, 0, hdr_len)
+    off = hdr_len
+    for s, cl in enumerate(comp_lens):
+        add(owner_of[(s % batch) // per_device], off, cl)
+        off += cl
+    add(nowners - 1, off, foot_len)
+    assert off + foot_len == len(blob)
     return blob, regions
 
 

@@ -87,7 +87,8 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
                    shard_len: int = consts.SHARD_LEN,
                    ctx: int = CTX, per_device: int = 4,
                    axis: str = "shards", index: bool = True,
-                   interpret: bool = False) -> bytes:
+                   interpret: bool = False,
+                   return_lens: bool = False):
     """One-shot compress, data-parallel over the mesh, v2 pipeline.
 
     Dispatch-ahead: the next sharded batch is enqueued before the
@@ -173,4 +174,8 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
         header = write_header(container, meta)
     else:
         header = write_header(container)
-    return header + bytes(out) + write_footer(container, hasher)
+    footer = write_footer(container, hasher)
+    blob = header + bytes(out) + footer
+    if return_lens:
+        return blob, comp_lens, len(header), len(footer)
+    return blob

@@ -63,7 +63,10 @@ def try_decompress_indexed(data: bytes, offset: int = 0,
     # trusting it (oversized claims fall back to the strict sequential
     # decoder, which enforces the real protocol errors)
     if n == 0 or int(comp_lens.sum()) > len(data) - offset \
-            or int(out_lens.max(initial=0)) > (1 << 30):
+            or int(out_lens.max(initial=0)) > (1 << 30) \
+            or int(out_lens.sum()) > 1040 * max(1, int(comp_lens.sum())):
+        # 1040x > deflate's max expansion (~1032x); a crafted index
+        # cannot drive allocations beyond what the payload could encode
         return None
     starts = [offset + hdr_len] * (n + 1)
     for i in range(n):

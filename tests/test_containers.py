@@ -11,7 +11,8 @@ import pytest
 import flate_tpu as ft
 from flate_tpu import errors
 from flate_tpu.containers import (
-    Container, GzipMetadata, Hasher, parse_header, write_header,
+    Container, GzipMetadata, Hasher, parse_header, write_footer,
+    write_header,
 )
 
 
@@ -117,3 +118,28 @@ def test_header_bytes_exact():
         bytes([0x1F, 0x8B, 0x08, 0x00, 0, 0, 0, 0, 0x00, 0x03])
     assert write_header(Container.ZLIB) == bytes([0x78, 0x9C])
     assert write_header(Container.RAW) == b""
+
+
+def test_gzip_fhcrc_write_roundtrip():
+    """write_header(hcrc=True) produces a header our own parser and
+    system gzip both accept (FHCRC write side: v1/gzip.zig parity)."""
+    import gzip as pygzip
+    import zlib as pyzlib
+    meta = GzipMetadata(filename=b"x.txt", comment=b"c", mtime=7,
+                        hcrc=True)
+    hdr = write_header(Container.GZIP, meta)
+    consumed, parsed = parse_header(Container.GZIP, hdr + b"tail")
+    assert consumed == len(hdr)
+    assert parsed.filename == b"x.txt" and parsed.comment == b"c"
+    # full stream with a deflate body decodes through CPython gzip
+    data = b"fhcrc write body " * 100
+    h = Hasher(Container.GZIP)
+    h.update(data)
+    blob = hdr + pyzlib.compress(data)[2:-4] + \
+        write_footer(Container.GZIP, h)
+    assert pygzip.decompress(blob) == data
+    # corrupting any header byte breaks the CRC16
+    bad = bytearray(hdr)
+    bad[5] ^= 0xFF
+    with pytest.raises(errors.BadGzipHeader):
+        parse_header(Container.GZIP, bytes(bad))
