@@ -356,8 +356,12 @@ def decompress_multi(data: bytes, container: Container,
                      verify: bool = True) -> bytes:
     """Decode all concatenated members (gzip multi-member / reset support,
     reference 'flate bug 18967' semantics)."""
-    out = bytearray()
-    pos = 0
+    if not data:
+        return b""
+    member, pos = decompress_member(data, 0, container, verify)
+    if pos >= len(data):
+        return member          # single member: no accumulation copies
+    out = bytearray(member)
     while pos < len(data):
         member, pos = decompress_member(data, pos, container, verify)
         out += member

@@ -362,6 +362,182 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
+# Pass 2 (v2) — speculative multi-lane walk with in-kernel join resolve
+#
+# The serial `_walk` visits one true symbol per while_loop step (~30K
+# steps per 128 KiB shard — the round-2 device-inflate bottleneck).
+# Here the bitstream is cut into NL lanes of G bits; every lane walks
+# the adv-chain from its base concurrently (same mold as
+# parse.parse_blocks), so steps ~ symbols-per-lane, not per-shard.
+# A lane that starts mid-symbol self-synchronizes: its chain and the
+# true chain are both strictly increasing ~9-bit steps, so they collide
+# within a few symbols (rapidgzip's observation; SURVEY §7 step 5).
+# Exactness is restored by the JOIN phase: the true chain enters lane l
+# at the previous lane's exit and is walked at most J steps until it
+# lands on a lane-visited position; from there the lane's own chain IS
+# the true chain (positions are strictly increasing, so the visited set
+# from any member onward is exactly the chain suffix).  Lanes whose join
+# fails (possible but rare) flag the shard for host fallback — never
+# wrong bytes, at worst a slower path.
+#
+# Reference hot loop being replaced: inflate.zig:220-239.
+# ---------------------------------------------------------------------------
+
+LANE_G = 2048                    # lane width in bits
+LANE_J = 96                      # max join-walk steps
+
+
+def _lane_walk_kernel(G: int, J: int, word_ref, meta_ref,
+                      mask_ref, joined_ref, vis_ref):
+    """Grid (B,).  word_ref (1, NL, G) i32 spec words; meta (1, 1, 2)
+    SMEM = (start_bit, nbits).  Outputs: mask (1, NL, G) i32 true-chain
+    membership, joined (1, NL, 128) i32 lane-join flags (col 0)."""
+    NL = word_ref.shape[1]
+    word = word_ref[0]                                  # (NL, G)
+    nxt_row = pltpu.roll(word, NL - 1, 0)               # row l -> row l+1
+    hal = jnp.concatenate([word, nxt_row[:, :64]], axis=1)  # (NL, G+64)
+
+    s0 = meta_ref[0, 0, 0]
+    n = meta_ref[0, 0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
+    lbase = lane * G
+    col = jax.lax.broadcasted_iota(jnp.int32, (NL, G + 64), 1)
+    colG = col[:, :G]
+    l0 = s0 // G
+
+    # ---- phase 1: speculative walk from every lane base --------------
+    # (the start lane walks from the exact start; earlier lanes and
+    # lanes past the stream are inactive)
+    cur0 = jnp.where(lane == l0, s0 - lbase, 0)
+    cur0 = jnp.where((lane < l0) | (lbase >= n), G, cur0)
+    vis_ref[...] = jnp.zeros_like(vis_ref)
+
+    def p1_cond(c):
+        return jnp.any(c < G)
+
+    def p1_body(c):
+        oh = col == c                                   # (NL, G+64)
+        vis_ref[0] = vis_ref[0] | jnp.where(
+            oh[:, :G] & (c < G), 1, 0)
+        w = jnp.sum(jnp.where(oh, hal, 0), axis=1, keepdims=True)
+        adv = jnp.maximum(w & 63, 1)
+        return jnp.where(c < G, c + adv, c)
+
+    exit_rel = jax.lax.while_loop(p1_cond, p1_body, cur0)  # (NL, 1)
+
+    # ---- phase 2: join the true chain onto each lane's chain ---------
+    # entry of lane l = exit of lane l-1 (relative: exit_rel - G); the
+    # start lane enters at the exact start and joins at step 0.
+    ent = pltpu.roll(exit_rel, 1, 0) - G
+    ent = jnp.where(lane == l0, s0 - lbase, ent)
+    vis = vis_ref[0]
+
+    def p2_body(_, st):
+        c2, joined, jpos, jmask = st
+        oh = col == c2
+        on_vis = jnp.sum(jnp.where(oh[:, :G], vis, 0), axis=1,
+                         keepdims=True) > 0
+        hit = on_vis & ~joined & (c2 < G)
+        jpos = jnp.where(hit, c2, jpos)
+        joined = joined | hit
+        live = ~joined & (c2 < G)
+        jmask = jmask | jnp.where(oh[:, :G] & live, 1, 0)
+        w = jnp.sum(jnp.where(oh, hal, 0), axis=1, keepdims=True)
+        adv = jnp.maximum(w & 63, 1)
+        c2 = jnp.where(live, c2 + adv, c2)
+        return c2, joined, jpos, jmask
+
+    vac = (lane < l0) | (lbase >= n)                    # vacuous lanes
+    st0 = (ent, vac, jnp.full((NL, 1), G, jnp.int32),
+           jnp.zeros((NL, G), jnp.int32))
+    _, joined, jpos, jmask = jax.lax.fori_loop(0, J, p2_body, st0)
+
+    mask_ref[0] = jmask | jnp.where(
+        (colG >= jpos) & joined & ~vac, vis, 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (NL, 128), 1)
+    joined_ref[0] = jnp.where(jcol == 0, joined.astype(jnp.int32), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "J", "interpret"))
+def _lane_walk(word: jnp.ndarray, start: jnp.ndarray, nbits: jnp.ndarray,
+               *, G: int = LANE_G, J: int = LANE_J,
+               interpret: bool = False):
+    """word (B, N) u32 -> (mask (B, N) bool, joined (B, NL) bool)."""
+    B, N = word.shape
+    assert N % G == 0 and G % 128 == 0
+    NL = N // G
+    meta = jnp.stack([start.astype(jnp.int32), nbits.astype(jnp.int32)],
+                     axis=1)[:, None, :]
+    mask, joined = pl.pallas_call(
+        functools.partial(_lane_walk_kernel, G, J),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, NL, G), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, NL, G), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NL, G), jnp.int32),
+            jax.ShapeDtypeStruct((B, NL, 128), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, NL, G), jnp.int32)],
+        interpret=interpret,
+    )(word.astype(jnp.int32).reshape(B, NL, G), meta)
+    return (mask.reshape(B, N) > 0), (joined[:, :, 0] > 0)
+
+
+def _extract(word: jnp.ndarray, mask: jnp.ndarray, joined: jnp.ndarray,
+             start: jnp.ndarray, NS: int, G: int = LANE_G):
+    """Compact the true-chain words into slot order and locate the EOB.
+
+    Returns (words (B, NS) u32, counts (B,) incl. EOB, spec_fail (B,)).
+    spec_fail marks shards whose lane chain is unproven up to the EOB
+    (join failure) — retryable on the host, NOT a stream error."""
+    B, N = word.shape
+    pos = jnp.arange(N, dtype=jnp.uint32)[None, :]
+    key = jnp.where(mask, pos, jnp.uint32(0xFFFFFFFF))
+    skey, sw = jax.lax.sort([key, word], dimension=1, num_keys=1)
+    keys_c, words_c = skey[:, :NS], sw[:, :NS]
+    kind = ((words_c >> 6) & 3).astype(jnp.int32)
+    is_eob = (kind == K_EOB) & (keys_c != jnp.uint32(0xFFFFFFFF))
+    has_eob = jnp.any(is_eob, axis=1)
+    eob_idx = jnp.argmax(is_eob, axis=1).astype(jnp.int32)
+    counts = eob_idx + 1
+    p_eob = jnp.take_along_axis(keys_c, eob_idx[:, None].astype(jnp.int32),
+                                axis=1)[:, 0].astype(jnp.int32)
+    # every lane from the start lane through the EOB lane must be joined
+    NL = N // G
+    lanes = jnp.arange(NL, dtype=jnp.int32)[None, :]
+    l0 = (start // G).astype(jnp.int32)[:, None]
+    le = (p_eob // G)[:, None]
+    lane_ok = joined | (lanes < l0) | (lanes > le)
+    spec_fail = ~jnp.all(lane_ok, axis=1) | ~has_eob
+    return words_c, counts, spec_fail
+
+
+@functools.partial(jax.jit, static_argnames=("S", "NS", "G", "interpret"))
+def decode_batch2(comp, clen, start, lims_ll, kbase_ll, syms_ll,
+                  lims_d, kbase_d, syms_d, out_lens, ctx0, *,
+                  S: int, NS: int, G: int = LANE_G,
+                  interpret: bool = False):
+    """Lane-walk twin of decode_batch; extra return: spec_fail (B,)."""
+    word = _pass1(comp, lims_ll, kbase_ll, syms_ll,
+                  lims_d, kbase_d, syms_d)
+    mask, joined = _lane_walk(word, start, 8 * clen, G=G,
+                              interpret=interpret)
+    words, counts, spec_fail = _extract(word, mask, joined, start, NS, G)
+    out, err = _resolve(words, counts, out_lens, ctx0, S)
+    return out, err, counts, spec_fail
+
+
+# ---------------------------------------------------------------------------
 # Pass 3 — parallel LZ resolution over the batch
 # ---------------------------------------------------------------------------
 
@@ -450,6 +626,42 @@ def _bucket(c: int) -> int:
     return b
 
 
+import os  # noqa: E402
+
+_WALK_MODE = os.environ.get("FLATE_TPU_INFLATE_WALK", "lanes")
+
+
+def _host_decode_shard(sh: bytes, out_len: int, hist: bytes) -> bytes:
+    """Exact host decode of one shard (non-final shards end in a sync
+    flush, not BFINAL — read through the resumable stream with the
+    indexed output budget, like pinflate)."""
+    from .. import native
+    try:
+        st = native.InflateStream(sh, 0, hist or None)
+        r = st.read(out_len)
+        if len(r) == out_len:
+            return r
+    except RuntimeError:
+        pass  # native unavailable: pure-Python block loop below
+    bits = hinf._BitCursor(sh)
+    outb = bytearray(hist)
+    base = len(outb)
+    while len(outb) - base < out_len:
+        bits.read(1)                       # bfinal (budget-bounded)
+        btype = bits.read(2)
+        if btype == 0:
+            hinf._decode_stored(bits, outb)
+        elif btype == 1:
+            ll, dd = hinf.fixed_tables()
+            hinf._decode_coded_block(bits, outb, ll, dd)
+        elif btype == 2:
+            ll, dd = hinf._decode_dynamic_header(bits)
+            hinf._decode_coded_block(bits, outb, ll, dd)
+        else:
+            raise InvalidBlockType()
+    return bytes(outb[base:base + out_len])
+
+
 def decompress_member_device(data: bytes, offset: int,
                              container: Container = Container.GZIP,
                              batch: int = 8, interpret: bool = False,
@@ -523,15 +735,33 @@ def decompress_member_device(data: bytes, offset: int,
             hist = bytes(out[-CTX:])
             if hist:
                 ctx0[CTX - len(hist):] = np.frombuffer(hist, np.uint8)
-            dev_out, err, _ = decode_batch(
-                jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
-                jnp.asarray(meta[:, 1]),
-                jnp.asarray(sc["lll"]), jnp.asarray(kb["lll"]),
-                jnp.asarray(sy_ll),
-                jnp.asarray(sc["lld"]), jnp.asarray(kb["lld"]),
-                jnp.asarray(sy_d),
-                jnp.asarray(meta[:, 2]), jnp.asarray(ctx0),
-                S=S, NS=NS, interpret=interpret)
+            args = (jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
+                    jnp.asarray(meta[:, 1]),
+                    jnp.asarray(sc["lll"]), jnp.asarray(kb["lll"]),
+                    jnp.asarray(sy_ll),
+                    jnp.asarray(sc["lld"]), jnp.asarray(kb["lld"]),
+                    jnp.asarray(sy_d),
+                    jnp.asarray(meta[:, 2]), jnp.asarray(ctx0))
+            if _WALK_MODE == "serial":
+                dev_out, err, _ = decode_batch(
+                    *args, S=S, NS=NS, interpret=interpret)
+                spec_np = np.zeros(Bc, bool)
+            else:
+                dev_out, err, _, spec_fail = decode_batch2(
+                    *args, S=S, NS=NS, interpret=interpret)
+                spec_np = np.asarray(spec_fail)
+            if spec_np.any():
+                # lane speculation unproven for some shard: decode the
+                # run on host (exact, rare) — correctness never depends
+                # on the speculative path
+                for bi, jj in enumerate(run):
+                    p2, sh2 = plans[jj]
+                    r = _host_decode_shard(sh2, p2.out_len,
+                                           bytes(out[-CTX:]))
+                    out += r
+                    hasher.update(r)
+                j = k
+                continue
             err_np = np.asarray(err)
             out_np = np.asarray(dev_out).reshape(Bc, S)
             if err_np.any():

@@ -1,18 +1,32 @@
 """Fused Pallas LZ77 matcher — VMEM sorted-neighbor candidate scan.
 
-Round-1's matcher (jx/match.py) materialized K rolled copies of the
-(B, W, nwords) carried-window array through HBM — the measured encode
-bottleneck (~140 ms per MiB).  This kernel keeps the sorted window words
-resident in VMEM tiles and scans the K most-recent same-bucket
-predecessors with vector rolls, so HBM sees each byte O(1) times.
+Round-2's matcher carried 8-16 window words through a 9-operand sort and
+materialized KPAD-halo'd tile copies through HBM — 111 of the 133 ms
+per 4 MiB batch.  Round-3 redesign:
+
+* **Selection on 8 bytes, extension by chaining.**  The sort carries
+  only 1-2 window words (`nw` <= 4); candidates are ranked by the
+  match length within that carry (<= 4*nw bytes) with distance as the
+  tie-break, and `runs.extend_chains` recovers the full length of
+  cap-saturated matches from same-distance continuations.  This cuts
+  both the sort payload (9 -> 3 operands) and the kernel inner loop
+  (K x 8 -> K x 2 word compares).
+* **No halo materialization.**  Kernels receive the SAME tiled array
+  twice under two BlockSpecs (block t and block t-1); the halo is a
+  VMEM concat of the previous block's tail — HBM never sees a shifted
+  copy (unaligned HBM slices run at 2-6 % of bandwidth on this TPU).
+* **Key/word build in-kernel.**  `_prep` turns window tiles into the
+  sort operands (14-bit Fibonacci-hash key + little-endian carry
+  words) with static in-VMEM slices instead of XLA's unaligned
+  window shifts.
 
 Candidate semantics (same re-derivation as round 1): sort positions by
 (hash, pos); after sorting, the K most recent same-hash predecessors of
 a position are the K previous rows.  Any candidate that passes the
 word-equality check is a valid DEFLATE back-reference regardless of how
 it was produced, so the scan needs no exact chain reconstruction —
-spurious candidates (roll wrap-around, bucket collisions, halo padding)
-are filtered by the actual byte comparison and the distance bounds.
+spurious candidates (bucket collisions, halo padding) are filtered by
+the actual byte comparison and the distance bounds.
 
 Reference hot loop being replaced: deflate.zig:248-263 + Lookup.zig.
 """
@@ -32,23 +46,10 @@ from . import match as mtc
 from . import runs
 
 TILE = 8192
-KPAD = 256                       # supports K up to 256
 POS_BITS = 18                    # window <= 256 KiB positions
 POS_MASK = (1 << POS_BITS) - 1
 HASH_BITS = 32 - POS_BITS        # 14-bit buckets (vs 15 in the host spec)
-
-
-def _hashes14(window: jnp.ndarray, nbytes: int) -> jnp.ndarray:
-    """14-bit Fibonacci hash of each position's next `nbytes` bytes."""
-    B, W = window.shape
-    ext = jnp.concatenate(
-        [window, jnp.zeros((B, nbytes), window.dtype)], axis=1
-    ).astype(jnp.uint32)
-    v = jnp.zeros((B, W), jnp.uint32)
-    for j in range(nbytes):
-        v = (v << jnp.uint32(8)) | ext[:, j:j + W]
-    return ((v * jnp.uint32(consts.HASH_MUL))
-            >> jnp.uint32(32 - HASH_BITS)).astype(jnp.uint32)
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
@@ -58,14 +59,85 @@ def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return cnt + (x == 0)
 
 
-def _matcher_kernel_slice(K: int, nw: int,
-                          skey_ref, swords_ref, meta_ref, out_ref):
-    """Unrolled static-slice variant: candidate k is the halo'd block at
-    lane offset KPAD-1-k — no loop-carried rolls, better ILP."""
-    tkey = skey_ref[0, 0, :, KPAD:]                    # (1, TILE) u32
+# ---------------------------------------------------------------------------
+# Prep kernel: window tiles -> (key, carry words) sort operands
+# ---------------------------------------------------------------------------
+
+def _prep_kernel(nw: int, hash_bytes: int, W: int,
+                 cur_ref, nxt_ref, key_ref, words_ref):
+    t = pl.program_id(1)
+    cur = cur_ref[0, 0, :, :].astype(jnp.uint32)       # (1, TILE)
+    nxt = nxt_ref[0, 0, :, :].astype(jnp.uint32)
+    hal = jnp.concatenate([cur, nxt], axis=1)          # (1, 2*TILE)
+    nbytes = 4 * nw
+    planes = [hal[:, j:j + TILE] for j in range(max(nbytes, hash_bytes))]
+    for w in range(nw):
+        le = planes[4 * w] | (planes[4 * w + 1] << 8) \
+            | (planes[4 * w + 2] << 16) | (planes[4 * w + 3] << 24)
+        if w == 0 and hash_bytes < 4:
+            le = le & jnp.uint32((1 << (8 * hash_bytes)) - 1)
+        words_ref[0, 0, w:w + 1, :] = le
+    # big-endian packed prefix for the Fibonacci hash (Lookup.zig:75-84)
+    v = planes[0]
+    for j in range(1, hash_bytes):
+        v = (v << jnp.uint32(8)) | planes[j]
+    h = (v * jnp.uint32(consts.HASH_MUL)) >> jnp.uint32(32 - HASH_BITS)
+    pos = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    key = (h << jnp.uint32(POS_BITS)) | pos.astype(jnp.uint32)
+    # pad positions (>= W) sort to the end and can never be candidates
+    key_ref[0, 0, :, :] = jnp.where(pos < W, key, SENTINEL)
+
+
+@functools.partial(jax.jit, static_argnames=("nw", "hash_bytes",
+                                             "interpret"))
+def _prep(window: jnp.ndarray, nw: int, hash_bytes: int,
+          interpret: bool = False):
+    """window (B, W) u8 -> (key (B, Wp) u32, words (B, nw, Wp) u32)."""
+    B, W = window.shape
+    T = -(-W // TILE)
+    Wp = T * TILE
+    wpad = jnp.pad(window, ((0, 0), (0, Wp - W + TILE)))
+    tiles = wpad.reshape(B, T + 1, 1, TILE)
+    key, words = pl.pallas_call(
+        functools.partial(_prep_kernel, nw, hash_bytes, W),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nw, TILE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T, nw, TILE), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(tiles, tiles)
+    return key.reshape(B, Wp), words.reshape(B, T, nw, TILE)
+
+
+# ---------------------------------------------------------------------------
+# Matcher kernel: K sorted predecessors, halo from the previous block
+# ---------------------------------------------------------------------------
+
+def _matcher_kernel(K: int, nw: int,
+                    kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref):
+    """Blocks (1, 1, C, TILE): kc/wc = this tile, kp/wp = previous tile
+    (block 0 of the operand arrays is a sentinel tile)."""
+    PAD = K
+    tkey = kc_ref[0, 0, :, :]                          # (1, TILE) u32
+    hal_k = jnp.concatenate([kp_ref[0, 0, :, TILE - PAD:], tkey], axis=1)
     tpos = (tkey & POS_MASK).astype(jnp.int32)
     tbucket = tkey >> POS_BITS
-    tw = [swords_ref[0, 0, t:t + 1, KPAD:] for t in range(nw)]
+    tw = [wc_ref[0, t, 0:1, :] for t in range(nw)]     # (1, TILE) each
+    hal_w = [jnp.concatenate([wp_ref[0, t, 0:1, TILE - PAD:],
+                              tw[t]], axis=1) for t in range(nw)]
     min_src = meta_ref[0, 0, 0]
     limit = meta_ref[0, 0, 1]
     max_dist = meta_ref[0, 0, 2]
@@ -75,8 +147,8 @@ def _matcher_kernel_slice(K: int, nw: int,
     best_score = jnp.full(n, -1, jnp.int32)
     best_ld = jnp.zeros(n, jnp.uint32)
     for k in range(K):
-        o = KPAD - 1 - k
-        ck = skey_ref[0, 0, :, o:o + TILE]
+        o = PAD - 1 - k
+        ck = hal_k[:, o:o + TILE]
         cpos = (ck & POS_MASK).astype(jnp.int32)
         dist = tpos - cpos
         valid = ((ck >> POS_BITS) == tbucket) & (dist >= 1) \
@@ -85,7 +157,7 @@ def _matcher_kernel_slice(K: int, nw: int,
         ml = jnp.zeros_like(tpos)
         run = (tkey == tkey)
         for t in range(nw):
-            c = _tz_bytes(tw[t] ^ swords_ref[0, 0, t:t + 1, o:o + TILE])
+            c = _tz_bytes(tw[t] ^ hal_w[t][:, o:o + TILE])
             ml = ml + jnp.where(run, c, 0)
             run = run & (c == 4)
         ml = jnp.minimum(ml, maxlen)
@@ -95,75 +167,30 @@ def _matcher_kernel_slice(K: int, nw: int,
         best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
                             | dist.astype(jnp.uint32), best_ld)
     out_ref[0, 0, :, :] = best_ld
-
-
-def _matcher_kernel(K: int, nw: int,
-                    skey_ref, swords_ref, meta_ref, out_ref):
-    """Grid (B, T).  Blocks carry a KPAD halo of preceding sorted rows.
-    out: best (len << 16 | dist) per target row, sorted order."""
-    tkey = skey_ref[0, 0, :, KPAD:]                    # (1, TILE) u32
-    tpos = (tkey & POS_MASK).astype(jnp.int32)
-    tbucket = tkey >> POS_BITS
-    tw = [swords_ref[0, 0, t:t + 1, KPAD:] for t in range(nw)]
-    min_src = meta_ref[0, 0, 0]
-    limit = meta_ref[0, 0, 1]
-    max_dist = meta_ref[0, 0, 2]
-    maxlen = jnp.minimum(consts.MAX_MATCH_LEN, limit - tpos)
-
-    def body(_, carry):
-        best_score, best_ld, ckey, cw = carry
-        ckey = pltpu.roll(ckey, 1, 1)
-        cw = [pltpu.roll(w, 1, 1) for w in cw]
-        ck = ckey[:, KPAD:]
-        cpos = (ck & POS_MASK).astype(jnp.int32)
-        dist = tpos - cpos
-        valid = ((ck >> POS_BITS) == tbucket) & (dist >= 1) \
-            & (dist <= max_dist) & (cpos >= min_src) \
-            & (cpos < limit)
-        ml = jnp.zeros_like(tpos)
-        run = (tkey == tkey)                           # all-true bool
-        for t in range(nw):
-            c = _tz_bytes(tw[t] ^ cw[t][:, KPAD:])
-            ml = ml + jnp.where(run, c, 0)
-            run = run & (c == 4)
-        ml = jnp.minimum(ml, maxlen)
-        score = (ml << 16) - dist
-        upd = valid & (ml >= consts.MIN_MATCH_LEN) & (score > best_score)
-        best_score = jnp.where(upd, score, best_score)
-        best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
-                            | dist.astype(jnp.uint32), best_ld)
-        return best_score, best_ld, ckey, cw
-
-    n = tpos.shape
-    init = (jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.uint32),
-            skey_ref[0, 0, :, :],
-            [swords_ref[0, 0, t:t + 1, :] for t in range(nw)])
-    best_score, best_ld, _, _ = jax.lax.fori_loop(0, K, body, init)
-    out_ref[0, 0, :, :] = best_ld
-
-
-import os
-
-_KERNEL_VARIANT = os.environ.get("FLATE_TPU_MATCH_KERNEL", "slice")
 
 
 @functools.partial(jax.jit, static_argnames=("K", "nw", "interpret"))
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                  meta: jnp.ndarray, K: int, nw: int,
                  interpret: bool = False) -> jnp.ndarray:
-    """skey_t: (B, T, 1, L), swords_t: (B, T, nw, L) halo'd tiles
-    (L = TILE + KPAD).  Returns (B, T*TILE) u32 best len<<16|dist."""
-    B, T, _, L = skey_t.shape
-    base = _matcher_kernel_slice if _KERNEL_VARIANT == "slice" \
-        else _matcher_kernel
-    kern = functools.partial(base, K, nw)
+    """skey_t (B, T+1, 1, TILE), swords_t (B, nw, T+1, TILE): tiled sort
+    results with a sentinel tile at index 0 (word-major layout so the
+    post-sort re-tiling is a pure reshape).  Returns (B, T*TILE) u32
+    best len<<16|dist per sorted row."""
+    B, T1, _, _ = skey_t.shape
+    T = T1 - 1
+    kern = functools.partial(_matcher_kernel, K, nw)
     out = pl.pallas_call(
         kern,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, L), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nw, L), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nw, 1, TILE), lambda b, t: (b, 0, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nw, 1, TILE), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -172,31 +199,8 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
         interpret=interpret,
-    )(skey_t, swords_t, meta[:, None, :])
+    )(skey_t, skey_t, swords_t, swords_t, meta[:, None, :])
     return out.reshape(B, T * TILE)
-
-
-def _pack_words(window: jnp.ndarray, nw: int) -> jnp.ndarray:
-    """(B, W) bytes -> (B, W, nw) little-endian u32 carried words."""
-    B, W = window.shape
-    ext = jnp.concatenate(
-        [window, jnp.zeros((B, 4 * nw + 4), window.dtype)], axis=1
-    ).astype(jnp.uint32)
-    planes = []
-    for t in range(nw):
-        w = jnp.zeros((B, W), jnp.uint32)
-        for j in range(4):
-            o = 4 * t + j
-            w = w | (ext[:, o:o + W] << jnp.uint32(8 * j))
-        planes.append(w)
-    return jnp.stack(planes, axis=2)
-
-
-def _halo_tiles(arr: jnp.ndarray, T: int) -> jnp.ndarray:
-    """(B, C, KPAD + T*TILE) -> (B, T, C, TILE+KPAD) overlapping tiles."""
-    tiles = [arr[:, None, :, i * TILE: i * TILE + TILE + KPAD]
-             for i in range(T)]
-    return jnp.concatenate(tiles, axis=1)
 
 
 def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
@@ -207,56 +211,44 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
     T = -(-W // TILE)
     Wp = T * TILE
 
-    h = _hashes14(window, hash_bytes)
-    pos = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.uint32)[None, :], (B, W))
-    key = (h << POS_BITS) | pos
+    key, words_t = _prep(window, nw, hash_bytes, interpret=interpret)
 
-    # carried-operand sort: the window words ride along with the keys so
+    # carried-operand sort: the carry words ride along with the keys so
     # no post-sort gather is needed (take_along_axis scalarizes on TPU)
-    words = _pack_words(window, nw)                    # (B, W, nw)
-    if hash_bytes < 4:
-        # mask the trailing bytes so the equality scan can't credit
-        # bytes beyond the hashed prefix
-        mask = jnp.uint32((1 << (8 * hash_bytes)) - 1)
-        words = jnp.concatenate(
-            [words[:, :, :1] & mask, words[:, :, 1:]], axis=2)
-    sorted_ops = jax.lax.sort(
-        [key] + [words[:, :, t] for t in range(nw)],
-        dimension=1, num_keys=1)
+    words_flat = [words_t[:, :, t, :].reshape(B, Wp) for t in range(nw)]
+    sorted_ops = jax.lax.sort([key] + words_flat, dimension=1, num_keys=1)
     skey = sorted_ops[0]
     spos = (skey & POS_MASK).astype(jnp.int32)
-    swords = jnp.stack(sorted_ops[1:], axis=1)         # (B, nw, W)
 
-    pad_tail = Wp - W
-    # halo padding: sentinel keys decode to pos 0x3FFFF -> dist < 0 ->
-    # never valid candidates
-    skey_pad = jnp.pad(skey[:, None, :], ((0, 0), (0, 0),
-                                          (KPAD, pad_tail)),
-                       constant_values=np.uint32(0xFFFFFFFF))
-    swords_pad = jnp.pad(swords, ((0, 0), (0, 0), (KPAD, pad_tail)))
+    # tile with a leading sentinel block (the "previous" of tile 0)
+    sent_k = jnp.full((B, 1, 1, TILE), SENTINEL, jnp.uint32)
+    skey_t = jnp.concatenate(
+        [sent_k, skey.reshape(B, T, 1, TILE)], axis=1)
+    # word-major (B, nw, T+1, TILE): re-tiling each sorted operand is a
+    # pure reshape — no transpose through HBM
+    sw = jnp.stack(sorted_ops[1:], axis=1).reshape(B, nw, T, TILE)
+    sent_w = jnp.zeros((B, nw, 1, TILE), jnp.uint32)
+    swords_t = jnp.concatenate([sent_w, sw], axis=2)
+
     meta = jnp.stack([
         min_src_a, limit_a,
         jnp.full((B,), max_dist, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     ], axis=1)
-
-    skey_t = _halo_tiles(skey_pad, T)                  # (B, T, 1, L)
-    swords_t = _halo_tiles(swords_pad, T)              # (B, T, nw, L)
     best = _run_matcher(skey_t, swords_t, meta, K, nw,
-                        interpret=interpret)[:, :W]
+                        interpret=interpret)
 
-    # unsort: spos is a permutation of [0, W); sorting by it carries the
-    # results back to position order without a scatter
+    # unsort: spos is a permutation of [0, W) (+ sentinel tails); sorting
+    # by it carries the results back to position order without a scatter
     _, ld = jax.lax.sort([spos.astype(jnp.uint32), best],
                          dimension=1, num_keys=1)
-    return ld
+    return ld[:, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "nw", "hash_bytes", "ctx",
                                              "K3", "interpret"))
 def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
-                       valid_len: jnp.ndarray, *, K: int, nw: int = 4,
+                       valid_len: jnp.ndarray, *, K: int, nw: int = 2,
                        hash_bytes: int = 4, ctx: int = mtc.CTX,
                        K3: int = 0, interpret: bool = False
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -265,9 +257,11 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     window: (B, W) uint8 = [ctx | shard] rows; ctx_len: valid context
     bytes per row; valid_len: real shard bytes per row (tail shards are
     zero-padded — positions beyond ctx+valid_len neither match nor serve
-    as sources).  K3 > 0 adds a 3-byte-hash pass (K3 candidates, dist
-    <= 4096 — deflate's too-far economy for short matches) like the
-    reference's min-length chain entries.  Returns (mlen, mdist) int32.
+    as sources).  `nw` carry words bound the SELECTION length (4*nw
+    bytes); full lengths are recovered by same-distance chain extension.
+    K3 > 0 adds a 3-byte-hash pass (K3 candidates, dist <= 4096 —
+    deflate's too-far economy for short matches) like the reference's
+    min-length chain entries.  Returns (mlen, mdist) int32.
     """
     B, W = window.shape
     min_src_a = (ctx - ctx_len).astype(jnp.int32)

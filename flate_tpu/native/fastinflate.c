@@ -112,14 +112,50 @@ static void br_align(BitReader *br) {
 /* decode tables.
  *
  * 15-bit decoders (litlen, dist) are two-level for L1 residency: a
- * 1024-entry u32 primary indexed by the low 10 code bits — terminal
- * entries are (sym << 4) | len, pointer entries have bit 31 set and
- * carry a secondary offset + sub-width for codes longer than 10 bits.
- * The 7-bit codegen decoder stays a flat u16 table.  0 = invalid. */
+ * 1024-entry u32 primary indexed by the low 10 code bits; codes longer
+ * than 10 bits spill through pointer entries (bit 31) into u32
+ * sub-tables.  Terminal entries are PRESHIFTED so the hot loop never
+ * touches the RFC base/extra arrays or branches on symbol ranges:
+ *
+ *   litlen literal:  LIT_FLAG | byte<<16            | codelen
+ *   litlen EOB:      EOB_FLAG                       | codelen
+ *   litlen length:   LBASE<<16 | LEXTRA<<4          | codelen
+ *   dist:            DBASE<<16 | DEXTRA<<4          | codelen
+ *   invalid (286/287, dist 30/31, missing code): 0
+ *
+ * so `val = (e>>16) + ((buf >> (e&15)) & mask((e>>4)&15))` and the
+ * whole code+extra consumes in one shift.  The 7-bit codegen decoder
+ * stays a flat u16 (sym<<4|len) table.  0 = invalid. */
 
 #define PTR_FLAG 0x80000000u
+#define LIT_FLAG 0x40000000u
+#define EOB_FLAG 0x20000000u
 #define PRIMARY_BITS 10
 #define PRIMARY_SIZE (1u << PRIMARY_BITS)
+
+/* RFC 1951 base/extra tables (build-time only; decode reads entries) */
+static const uint16_t LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+    35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+    3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint16_t DBASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+    257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DEXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+    7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+static uint32_t make_entry(int s, int l, int is_litlen) {
+    if (is_litlen) {
+        if (s < 256) return LIT_FLAG | ((uint32_t)s << 16) | (uint32_t)l;
+        if (s == 256) return EOB_FLAG | (uint32_t)l;
+        if (s > 285) return 0;
+        int li = s - 257;
+        return ((uint32_t)LBASE[li] << 16) | ((uint32_t)LEXTRA[li] << 4)
+            | (uint32_t)l;
+    }
+    if (s > 29) return 0;
+    return ((uint32_t)DBASE[s] << 16) | ((uint32_t)DEXTRA[s] << 4)
+        | (uint32_t)l;
+}
 
 static uint32_t rev_bits(uint32_t code, int len) {
     uint32_t r = 0;
@@ -187,7 +223,7 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
 
 /* two-level table (15-bit litlen/dist decoders) */
 static int build_table2(const uint8_t *lens, int n, int is_litlen,
-                        uint32_t *t1, uint16_t *sub) {
+                        uint32_t *t1, uint32_t *sub) {
     int count[16] = {0};
     int maxl;
     int rc = check_lens(lens, n, 15, is_litlen, count, &maxl);
@@ -205,7 +241,7 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
             if (!l) continue;
             uint32_t r = rev_bits(next_code[l]++, l);
             uint32_t step = 1u << l;
-            uint32_t e = (uint32_t)((s << 4) | l);
+            uint32_t e = make_entry(s, l, is_litlen);
             for (uint32_t i = r; i < PRIMARY_SIZE; i += step)
                 t1[i] = e;
         }
@@ -227,7 +263,7 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
     for (uint32_t p = 0; p < PRIMARY_SIZE; p++) {
         if (!subw[p]) continue;
         t1[p] = PTR_FLAG | (off << 4) | subw[p];
-        memset(sub + off, 0, ((size_t)1 << subw[p]) * sizeof(uint16_t));
+        memset(sub + off, 0, ((size_t)1 << subw[p]) * sizeof(uint32_t));
         off += 1u << subw[p];
     }
     for (int s = 0; s < n; s++) {
@@ -236,7 +272,7 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
         uint32_t r = rev_bits(next_code[l]++, l);
         if (l <= PRIMARY_BITS) {
             uint32_t step = 1u << l;
-            uint32_t e = (uint32_t)((s << 4) | l);
+            uint32_t e = make_entry(s, l, is_litlen);
             for (uint32_t i = r; i < PRIMARY_SIZE; i += step)
                 t1[i] = e;
         } else {
@@ -246,7 +282,7 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
             uint32_t sb = e1 & 15;
             uint32_t hi = r >> PRIMARY_BITS;
             uint32_t step = 1u << (l - PRIMARY_BITS);
-            uint16_t e = (uint16_t)((s << 4) | l);
+            uint32_t e = make_entry(s, l, is_litlen);
             for (uint32_t i = hi; i < (1u << sb); i += step)
                 sub[so + i] = e;
         }
@@ -254,29 +290,20 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
     return 0;
 }
 
-/* RFC 1951 base/extra tables */
-static const uint16_t LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
-    35,43,51,59,67,83,99,115,131,163,195,227,258};
-static const uint8_t LEXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
-    3,3,3,3,4,4,4,4,5,5,5,5,0};
-static const uint16_t DBASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
-    257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
-static const uint8_t DEXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
-    7,7,8,8,9,9,10,10,11,11,12,12,13,13};
-
 static const uint8_t CODEGEN_ORDER[19] =
     {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
 typedef struct {
     uint32_t ll1[PRIMARY_SIZE];
     uint32_t d1[PRIMARY_SIZE];
-    uint16_t ll_sub[1 << 15];
-    uint16_t d_sub[1 << 15];
+    uint32_t ll_sub[1 << 15];
+    uint32_t d_sub[1 << 15];
     uint16_t cg[1 << 7];
 } Tables;
 
-/* one two-level lookup; returns (sym<<4|len) or 0 for invalid */
-static inline uint32_t tbl2_find(const uint32_t *t1, const uint16_t *sub,
+/* one two-level lookup on the low 15 buffered bits; returns a
+ * preshifted terminal entry or 0 for invalid */
+static inline uint32_t tbl2_find(const uint32_t *t1, const uint32_t *sub,
                                  uint32_t peek15) {
     uint32_t e = t1[peek15 & (PRIMARY_SIZE - 1)];
     if (e & PTR_FLAG) {
@@ -364,11 +391,19 @@ static int build_fixed(Tables *t) {
     for (; i < 280; i++) ll[i] = 7;
     for (; i < 288; i++) ll[i] = 8;
     for (i = 0; i < 32; i++) dd[i] = 5;
-    int rc = build_table2(ll, 288, 0, t->ll1, t->ll_sub);
+    int rc = build_table2(ll, 288, 1, t->ll1, t->ll_sub);
     if (rc) return rc;
     /* all 32 5-bit distance codes so the table is complete; 30/31 decode
      * and are rejected as InvalidCode like the reference */
     return build_table2(dd, 32, 0, t->d1, t->d_sub);
+}
+
+/* zero the uncredited high bits of the bit buffer — the slow/stored
+ * paths rely on bits >= nbits being zero, while the fast loop's
+ * unconditional refill leaves a (correct-prefix) garbage tail there */
+static inline void br_sanitize(BitReader *br) {
+    if (br->nbits < 64)
+        br->buf &= ((uint64_t)1 << br->nbits) - 1;
 }
 
 /* decode one coded block; returns 0 at EOB or error */
@@ -376,103 +411,128 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
                         size_t out_cap, size_t *out_len) {
     size_t w = *out_len;
     for (;;) {
-        /* fast path: with >= 48 buffered bits a full symbol (15) + len
-         * extra (5) + dist code (15) + dist extra (13) needs no refill
-         * or end-of-stream checks — outcomes are identical to the
-         * checked path below, which still handles the stream tail */
+        /* fast path: unconditional branchless refill to >= 56 bits
+         * (n + 8*((63-n)>>3) == n|56 for n < 64; the OR over the
+         * uncredited tail is idempotent — those bits re-read the same
+         * input bytes), then a full symbol+extra (20) + dist
+         * code+extra (28) needs no refill or end-of-stream checks —
+         * outcomes are identical to the checked path below, which
+         * still handles the stream tail */
         br_fill(br);
-        while (br->nbits >= 48 && w + 258 <= out_cap) {
-            uint32_t e = tbl2_find(t->ll1, t->ll_sub,
-                                   (uint32_t)(br->buf & 0x7FFF));
-            if (!e) return ERR_CODE;
-            br->buf >>= (e & 15);
-            br->nbits -= (e & 15);
-            uint32_t s = e >> 4;
-            if (s < 256) {
-                out[w++] = (uint8_t)s;
-                /* >= 33 bits remain: a second literal is free */
-                e = tbl2_find(t->ll1, t->ll_sub,
-                              (uint32_t)(br->buf & 0x7FFF));
-                if (!e) return ERR_CODE;
-                s = e >> 4;
-                if (s < 256) {
-                    br->buf >>= (e & 15);
-                    br->nbits -= (e & 15);
-                    out[w++] = (uint8_t)s;
-                }
-                br_fill(br);
-                continue;
+        br_sanitize(br);
+        /* 274 = 258 max match + 16 bytes of chunked-copy overrun room */
+        while (w + 274 <= out_cap && br->pos + 8 <= br->in_len) {
+            if (br->nbits < 56) {   /* nbits can be 64 after br_fill */
+                uint64_t v;
+                memcpy(&v, br->in + br->pos, 8);
+                br->buf |= v << br->nbits;
+                br->pos += (size_t)((63 - br->nbits) >> 3);
+                br->nbits |= 56;
             }
-            if (s == 256) {
+            uint32_t e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
+            if (e & LIT_FLAG) {
+                /* up to 3 literals per refill (45 bits consumed) */
+                br->buf >>= (e & 15);
+                br->nbits -= (int)(e & 15);
+                out[w++] = (uint8_t)(e >> 16);
+                e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
+                if (e & LIT_FLAG) {
+                    br->buf >>= (e & 15);
+                    br->nbits -= (int)(e & 15);
+                    out[w++] = (uint8_t)(e >> 16);
+                    e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
+                    if (e & LIT_FLAG) {
+                        br->buf >>= (e & 15);
+                        br->nbits -= (int)(e & 15);
+                        out[w++] = (uint8_t)(e >> 16);
+                        continue;
+                    }
+                }
+                /* non-literal after 1-2 literals: >= 11 bits may
+                 * remain, not enough for symbol+extras — loop back
+                 * through the refill without consuming e */
+                if (br->nbits < 48)
+                    continue;
+            }
+            if (e & EOB_FLAG) {
+                br->buf >>= (e & 15);
+                br->nbits -= (int)(e & 15);
+                br_sanitize(br);
                 *out_len = w;
                 return 0;
             }
+            if (!e) return ERR_CODE;
             {
-                int li = (int)s - 257;
-                if (li > 28) return ERR_CODE;
-                uint32_t eb = LEXTRA[li];
-                uint32_t length = LBASE[li]
-                    + (uint32_t)(br->buf & ((1u << eb) - 1));
-                br->buf >>= eb;
-                br->nbits -= (int)eb;
+                uint32_t cb = e & 15, eb = (e >> 4) & 15;
+                uint32_t length = (e >> 16)
+                    + (uint32_t)((br->buf >> cb) & ((1u << eb) - 1));
+                br->buf >>= cb + eb;
+                br->nbits -= (int)(cb + eb);
                 uint32_t de = tbl2_find(t->d1, t->d_sub,
-                                        (uint32_t)(br->buf & 0x7FFF));
+                                        (uint32_t)br->buf);
                 if (!de) return ERR_CODE;
-                uint32_t ds = de >> 4;
-                br->buf >>= (de & 15);
-                br->nbits -= (de & 15);
-                if (ds > 29) return ERR_CODE;
-                uint32_t db = DEXTRA[ds];
-                uint32_t dist = DBASE[ds]
-                    + (uint32_t)(br->buf & ((1u << db) - 1));
-                br->buf >>= db;
-                br->nbits -= (int)db;
+                uint32_t dcb = de & 15, deb = (de >> 4) & 15;
+                uint32_t dist = (de >> 16)
+                    + (uint32_t)((br->buf >> dcb) & ((1u << deb) - 1));
+                br->buf >>= dcb + deb;
+                br->nbits -= (int)(dcb + deb);
                 if (dist > w) { *out_len = w; return ERR_MATCH; }
                 const uint8_t *src = out + w - dist;
-                if (dist >= length) {
-                    memcpy(out + w, src, length);
+                uint8_t *dst = out + w;
+                if (dist == 1) {
+                    memset(dst, src[0], length);
+                } else if (dist >= 16) {
+                    /* fixed 16-byte chunks; may overrun by <= 15 bytes
+                     * into the headroom the loop guard reserves */
+                    uint32_t k = 0;
+                    do {
+                        memcpy(dst + k, src + k, 16);
+                        k += 16;
+                    } while (k < length);
+                } else if (dist >= 8) {
+                    uint32_t k = 0;
+                    do {
+                        memcpy(dst + k, src + k, 8);
+                        k += 8;
+                    } while (k < length);
                 } else {
-                    /* overlap: seed one period, then double the
-                     * already-written span (disjoint memcpys) */
-                    memcpy(out + w, src, dist);
+                    /* short-period overlap: seed one period, then
+                     * double the already-written span */
+                    memcpy(dst, src, dist);
                     uint32_t done = dist;
                     while (done < length) {
                         uint32_t chunk = done < length - done
                             ? done : length - done;
-                        memcpy(out + w + done, out + w, chunk);
+                        memcpy(dst + done, dst, chunk);
                         done += chunk;
                     }
                 }
                 w += length;
             }
-            br_fill(br);
         }
+        /* checked tail path: restore the zero-high-bits invariant */
+        br_sanitize(br);
         uint32_t peek = br_peek(br, 15);
         uint32_t e = tbl2_find(t->ll1, t->ll_sub, peek);
         if (!e) return ERR_CODE;
-        uint32_t s = e >> 4;
         int rc = br_consume(br, e & 15);
         if (rc) return rc;
-        if (s < 256) {
+        if (e & LIT_FLAG) {
             if (w >= out_cap) { *out_len = w; return ERR_OUT; }
-            out[w++] = (uint8_t)s;
-        } else if (s == 256) {
+            out[w++] = (uint8_t)(e >> 16);
+        } else if (e & EOB_FLAG) {
             *out_len = w;
             return 0;
         } else {
-            int li = s - 257;
-            if (li > 28) return ERR_CODE;
             uint32_t extra;
-            if ((rc = br_read(br, LEXTRA[li], &extra))) return rc;
-            uint32_t length = LBASE[li] + extra;
+            if ((rc = br_read(br, (int)((e >> 4) & 15), &extra))) return rc;
+            uint32_t length = (e >> 16) + extra;
             peek = br_peek(br, 15);
             uint32_t de = tbl2_find(t->d1, t->d_sub, peek);
             if (!de) return ERR_CODE;
-            uint32_t ds = de >> 4;
             if ((rc = br_consume(br, de & 15))) return rc;
-            if (ds > 29) return ERR_CODE;
-            if ((rc = br_read(br, DEXTRA[ds], &extra))) return rc;
-            uint32_t dist = DBASE[ds] + extra;
+            if ((rc = br_read(br, (int)((de >> 4) & 15), &extra))) return rc;
+            uint32_t dist = (de >> 16) + extra;
             if (dist > w) { *out_len = w; return ERR_MATCH; }
             if (w + length > out_cap) { *out_len = w; return ERR_OUT; }
             const uint8_t *src = out + w - dist;
@@ -725,50 +785,53 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
             br_fill(&br);
             while (br.nbits >= 48 && w + 258 <= out_cap) {
                 uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub,
-                                       (uint32_t)(br.buf & 0x7FFF));
-                if (!e) { rc = ERR_CODE; goto done; }
-                br.buf >>= (e & 15);
-                br.nbits -= (e & 15);
-                uint32_t s = e >> 4;
-                if (s < 256) {
-                    out[w++] = (uint8_t)s;
+                                       (uint32_t)br.buf);
+                if (e & LIT_FLAG) {
+                    br.buf >>= (e & 15);
+                    br.nbits -= (int)(e & 15);
+                    out[w++] = (uint8_t)(e >> 16);
                     e = tbl2_find(st->t.ll1, st->t.ll_sub,
-                                  (uint32_t)(br.buf & 0x7FFF));
-                    if (!e) { rc = ERR_CODE; goto done; }
-                    s = e >> 4;
-                    if (s < 256) {
+                                  (uint32_t)br.buf);
+                    if (e & LIT_FLAG) {
                         br.buf >>= (e & 15);
-                        br.nbits -= (e & 15);
-                        out[w++] = (uint8_t)s;
+                        br.nbits -= (int)(e & 15);
+                        out[w++] = (uint8_t)(e >> 16);
+                        e = tbl2_find(st->t.ll1, st->t.ll_sub,
+                                      (uint32_t)br.buf);
+                        if (e & LIT_FLAG) {
+                            br.buf >>= (e & 15);
+                            br.nbits -= (int)(e & 15);
+                            out[w++] = (uint8_t)(e >> 16);
+                            br_fill(&br);
+                            continue;
+                        }
                     }
                     br_fill(&br);
-                    continue;
+                    if (br.nbits < 48)
+                        break;
                 }
-                if (s == 256) {
+                if (e & EOB_FLAG) {
+                    br.buf >>= (e & 15);
+                    br.nbits -= (int)(e & 15);
                     st->stage = st->bfinal ? 3 : 0;
                     if (st->stage == 3) st->end_bit = br_bitpos(&br);
                     goto block_end;
                 }
+                if (!e) { rc = ERR_CODE; goto done; }
                 {
-                    int li = (int)s - 257;
-                    if (li > 28) { rc = ERR_CODE; goto done; }
-                    uint32_t eb = LEXTRA[li];
-                    uint32_t length = LBASE[li]
-                        + (uint32_t)(br.buf & ((1u << eb) - 1));
-                    br.buf >>= eb;
-                    br.nbits -= (int)eb;
+                    uint32_t cb = e & 15, eb = (e >> 4) & 15;
+                    uint32_t length = (e >> 16)
+                        + (uint32_t)((br.buf >> cb) & ((1u << eb) - 1));
+                    br.buf >>= cb + eb;
+                    br.nbits -= (int)(cb + eb);
                     uint32_t de = tbl2_find(st->t.d1, st->t.d_sub,
-                                            (uint32_t)(br.buf & 0x7FFF));
+                                            (uint32_t)br.buf);
                     if (!de) { rc = ERR_CODE; goto done; }
-                    uint32_t ds = de >> 4;
-                    br.buf >>= (de & 15);
-                    br.nbits -= (de & 15);
-                    if (ds > 29) { rc = ERR_CODE; goto done; }
-                    uint32_t db = DEXTRA[ds];
-                    uint32_t dist = DBASE[ds]
-                        + (uint32_t)(br.buf & ((1u << db) - 1));
-                    br.buf >>= db;
-                    br.nbits -= (int)db;
+                    uint32_t dcb = de & 15, deb = (de >> 4) & 15;
+                    uint32_t dist = (de >> 16)
+                        + (uint32_t)((br.buf >> dcb) & ((1u << deb) - 1));
+                    br.buf >>= dcb + deb;
+                    br.nbits -= (int)(dcb + deb);
                     if ((uint64_t)dist > hist0 + w) {
                         rc = ERR_MATCH; goto done;
                     }
@@ -783,28 +846,25 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
             uint32_t peek = br_peek(&br, 15);
             uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub, peek);
             if (!e) { rc = ERR_CODE; goto done; }
-            uint32_t s = e >> 4;
             if ((rc = br_consume(&br, e & 15))) goto done;
-            if (s < 256) {
-                out[w++] = (uint8_t)s;
-            } else if (s == 256) {
+            if (e & LIT_FLAG) {
+                out[w++] = (uint8_t)(e >> 16);
+            } else if (e & EOB_FLAG) {
                 st->stage = st->bfinal ? 3 : 0;
                 if (st->stage == 3) st->end_bit = br_bitpos(&br);
                 break;
             } else {
-                int li = (int)s - 257;
                 uint32_t extra;
-                if (li > 28) { rc = ERR_CODE; goto done; }
-                if ((rc = br_read(&br, LEXTRA[li], &extra))) goto done;
-                uint32_t length = LBASE[li] + extra;
+                if ((rc = br_read(&br, (int)((e >> 4) & 15), &extra)))
+                    goto done;
+                uint32_t length = (e >> 16) + extra;
                 peek = br_peek(&br, 15);
                 uint32_t de = tbl2_find(st->t.d1, st->t.d_sub, peek);
                 if (!de) { rc = ERR_CODE; goto done; }
-                uint32_t ds = de >> 4;
                 if ((rc = br_consume(&br, de & 15))) goto done;
-                if (ds > 29) { rc = ERR_CODE; goto done; }
-                if ((rc = br_read(&br, DEXTRA[ds], &extra))) goto done;
-                uint32_t dist = DBASE[ds] + extra;
+                if ((rc = br_read(&br, (int)((de >> 4) & 15), &extra)))
+                    goto done;
+                uint32_t dist = (de >> 16) + extra;
                 if ((uint64_t)dist > hist0 + w) { rc = ERR_MATCH; goto done; }
                 st->mdist = dist;
                 st->mlen_left = length;

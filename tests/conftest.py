@@ -14,6 +14,10 @@ import pathlib
 import jax
 import pytest
 
+# restrict platform DISCOVERY to cpu (not just the default backend):
+# the axon plugin's get_backend hook otherwise initializes the TPU
+# tunnel for every dispatch, so a tunnel outage would fail CPU tests
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
