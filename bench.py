@@ -229,8 +229,9 @@ def sec_device_inflate() -> dict:
         gz = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + \
             zlib.compress(cd, 6)[2:-4] + \
             struct.pack("<II", zlib.crc32(cd), len(cd) & 0xFFFFFFFF)
+        from flate_tpu.jx import anyinflate
         out, best_s, sd, _ = timed_best(
-            lambda: inflate2.decompress_device_any(gz))
+            lambda: anyinflate.decompress_device_any(gz))
         assert out == cd
         res["device_unindexed"] = {
             "gbps": round(len(cd) / best_s / 1e9, 4),

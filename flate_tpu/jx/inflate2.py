@@ -497,9 +497,12 @@ def _extract(word: jnp.ndarray, mask: jnp.ndarray, joined: jnp.ndarray,
              start: jnp.ndarray, NS: int, G: int = LANE_G):
     """Compact the true-chain words into slot order and locate the EOB.
 
-    Returns (words (B, NS) u32, counts (B,) incl. EOB, spec_fail (B,)).
-    spec_fail marks shards whose lane chain is unproven up to the EOB
-    (join failure) — retryable on the host, NOT a stream error."""
+    Returns (words (B, NS) u32, counts (B,) incl. EOB, spec_fail (B,),
+    has_eob (B,), out_len (B,), end_bit (B,)).  spec_fail marks shards
+    whose lane chain is unproven up to the EOB (join failure) —
+    retryable exactly, NOT a stream error.  out_len/end_bit let callers
+    decode spans whose output size and bit extent are unknown upfront
+    (arbitrary-stream chaining)."""
     B, N = word.shape
     pos = jnp.arange(N, dtype=jnp.uint32)[None, :]
     key = jnp.where(mask, pos, jnp.uint32(0xFFFFFFFF))
@@ -510,8 +513,18 @@ def _extract(word: jnp.ndarray, mask: jnp.ndarray, joined: jnp.ndarray,
     has_eob = jnp.any(is_eob, axis=1)
     eob_idx = jnp.argmax(is_eob, axis=1).astype(jnp.int32)
     counts = eob_idx + 1
-    p_eob = jnp.take_along_axis(keys_c, eob_idx[:, None].astype(jnp.int32),
-                                axis=1)[:, 0].astype(jnp.int32)
+    eob_i = eob_idx[:, None]
+    p_eob = jnp.take_along_axis(keys_c, eob_i, axis=1)[:, 0]\
+        .astype(jnp.int32)
+    w_eob = jnp.take_along_axis(words_c, eob_i, axis=1)[:, 0]
+    end_bit = p_eob + (w_eob & 63).astype(jnp.int32)
+    # output bytes of the true symbols before the EOB
+    slots = jnp.arange(NS, dtype=jnp.int32)[None, :]
+    live = slots < (counts[:, None] - 1)
+    value = ((words_c >> 8) & 0xFF).astype(jnp.int32)
+    olen = jnp.where(live & (kind == K_MATCH), value + 3,
+                     jnp.where(live & (kind == K_LIT), 1, 0))
+    out_len = jnp.sum(olen, axis=1)
     # every lane from the start lane through the EOB lane must be joined
     NL = N // G
     lanes = jnp.arange(NL, dtype=jnp.int32)[None, :]
@@ -519,7 +532,7 @@ def _extract(word: jnp.ndarray, mask: jnp.ndarray, joined: jnp.ndarray,
     le = (p_eob // G)[:, None]
     lane_ok = joined | (lanes < l0) | (lanes > le)
     spec_fail = ~jnp.all(lane_ok, axis=1) | ~has_eob
-    return words_c, counts, spec_fail
+    return words_c, counts, spec_fail, has_eob, out_len, end_bit
 
 
 @functools.partial(jax.jit, static_argnames=("S", "NS", "G", "interpret"))
@@ -532,7 +545,8 @@ def decode_batch2(comp, clen, start, lims_ll, kbase_ll, syms_ll,
                   lims_d, kbase_d, syms_d)
     mask, joined = _lane_walk(word, start, 8 * clen, G=G,
                               interpret=interpret)
-    words, counts, spec_fail = _extract(word, mask, joined, start, NS, G)
+    words, counts, spec_fail, _, _, _ = _extract(word, mask, joined,
+                                                 start, NS, G)
     out, err = _resolve(words, counts, out_lens, ctx0, S)
     return out, err, counts, spec_fail
 

@@ -79,6 +79,11 @@ def _load(name: str):
                 lib.inflate_stream_rebase.restype = None
                 lib.inflate_stream_rebase.argtypes = [
                     ctypes.c_void_p, ctypes.c_size_t]
+                lib.scan_headers.restype = ctypes.c_long
+                lib.scan_headers.argtypes = [
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
+                    ctypes.c_size_t, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t]
             elif name == "fastparse":
                 lib.optimal_parse.restype = ctypes.c_int
                 lib.optimal_parse.argtypes = [
@@ -260,3 +265,25 @@ class InflateStream:
         self._data = np.frombuffer(data, dtype=np.uint8) if data \
             else np.zeros(1, dtype=np.uint8)
         self._data_len = len(data)
+
+
+def scan_headers(data: bytes, start_bit: int = 0,
+                 end_bit: int | None = None,
+                 max_out: int = 64) -> list[int] | None:
+    """Bit offsets of validated dynamic-block headers in [start_bit,
+    end_bit) — chunk entry points for parallel decode of arbitrary
+    streams.  Returns None if the native library is unavailable."""
+    lib = _load("fastinflate")
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    if src.size == 0:
+        return []
+    if end_bit is None:
+        end_bit = 8 * len(data)
+    out = np.zeros(max_out, dtype=np.uint64)
+    n = lib.scan_headers(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(data),
+        start_bit, end_bit,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), max_out)
+    return [int(x) for x in out[:min(n, max_out)]]

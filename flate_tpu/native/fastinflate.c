@@ -892,3 +892,109 @@ done:
 void inflate_stream_rebase(InfStream *st, size_t delta) {
     st->pos -= delta;
 }
+
+/* ------------------------------------------------------------------ */
+/* Dynamic-block-header scanner for parallel decode of arbitrary
+ * streams (rapidgzip-style chunk entry discovery, SURVEY §7 step 5).
+ *
+ * A deflate chunk decoder needs ONE confirmed entry point per chunk;
+ * every dynamic block header is such a point.  scan_headers checks
+ * every bit offset in [start_bit, end_bit) with a cheap-filter cascade
+ * (btype == 2, HLIT/HDIST bounds, exact codelen-code Kraft sum) and
+ * then a full header parse (codelen table + RLE walk + litlen/dist
+ * completeness — everything but the big two-level table build), so
+ * false positives are ~per-GB rare.  Offsets written are the BFINAL
+ * bit of the header.  Returns the number found (may exceed max_out;
+ * only max_out are stored).  Thread-safe; ctypes releases the GIL. */
+
+static int validate_dyn_header(const uint8_t *in, size_t in_len,
+                               size_t p, uint16_t *cg) {
+    BitReader br;
+    br_init(&br, in, in_len, p + 3);
+    uint32_t hlit, hdist, hclen;
+    int rc;
+    if ((rc = br_read(&br, 5, &hlit))) return rc;
+    if ((rc = br_read(&br, 5, &hdist))) return rc;
+    if ((rc = br_read(&br, 4, &hclen))) return rc;
+    hlit += 257;
+    hdist += 1;
+    hclen += 4;
+    if (hlit > 286 || hdist > 30) return ERR_DYN;
+    uint8_t cl_lens[19] = {0};
+    for (uint32_t i = 0; i < hclen; i++) {
+        uint32_t v;
+        if ((rc = br_read(&br, 3, &v))) return rc;
+        cl_lens[CODEGEN_ORDER[i]] = (uint8_t)v;
+    }
+    if ((rc = build_table(cl_lens, 19, 7, 0, cg))) return rc;
+    uint8_t ll_lens[286] = {0};
+    uint8_t d_lens[30] = {0};
+    Tables tt;          /* only .cg is used by read_code_lens */
+    memcpy(tt.cg, cg, sizeof(tt.cg));
+    if ((rc = read_code_lens(&br, &tt, (int)hlit, ll_lens, 286)))
+        return rc;
+    if ((rc = read_code_lens(&br, &tt, (int)hdist, d_lens, 30)))
+        return rc;
+    int count[16] = {0};
+    int maxl;
+    if ((rc = check_lens(ll_lens, 286, 15, 1, count, &maxl))) return rc;
+    int count2[16] = {0};
+    if ((rc = check_lens(d_lens, 30, 15, 0, count2, &maxl))) return rc;
+    return 0;
+}
+
+long scan_headers(const uint8_t *in, size_t in_len, size_t start_bit,
+                  size_t end_bit, uint64_t *out, size_t max_out) {
+    size_t nbits = in_len * 8;
+    if (end_bit > nbits) end_bit = nbits;
+    long cnt = 0;
+    uint16_t cg[1 << 7];
+    static const uint8_t KLUT[8] = {0, 64, 32, 16, 8, 4, 2, 1};
+    /* the full header parse needs bounded reads; stop where even a
+     * minimal header cannot fit */
+    size_t lim = nbits > 96 ? nbits - 96 : 0;
+    if (end_bit > lim) end_bit = lim;
+    for (size_t p = start_bit; p < end_bit; p++) {
+        size_t byte = p >> 3;
+        uint64_t v;
+        memcpy(&v, in + byte, 8);
+        v >>= (p & 7);
+        /* btype == 2: bit1 == 0, bit2 == 1 */
+        if (((v >> 1) & 3) != 2) continue;
+        if (((uint32_t)(v >> 3) & 31) > 29) continue;   /* HLIT  */
+        if (((uint32_t)(v >> 8) & 31) > 29) continue;   /* HDIST */
+        uint32_t hclen = ((uint32_t)(v >> 13) & 15) + 4;
+        /* all 19 3-bit codelen lengths (57 bits at p+17) come from ONE
+         * unaligned u64 load: 64 - 7 worst-case alignment >= 57 */
+        uint64_t f;
+        memcpy(&f, in + ((p + 17) >> 3), 8);
+        f >>= ((p + 17) & 7);
+        /* exact Kraft sum of the codelen code: the 19 lengths must
+         * fill the 7-bit code space exactly (check_lens rejects both
+         * over- and under-subscription for 7-bit tables); branchless
+         * with an early overshoot exit every 4 fields */
+        uint32_t umask = (1u << hclen) - 1;
+        int kraft = 0;
+        int i = 0;
+        for (; i < 16; i += 4) {
+            kraft += KLUT[f & 7] & (-(int)((umask >> i) & 1));
+            kraft += KLUT[(f >> 3) & 7] & (-(int)((umask >> (i + 1)) & 1));
+            kraft += KLUT[(f >> 6) & 7] & (-(int)((umask >> (i + 2)) & 1));
+            kraft += KLUT[(f >> 9) & 7] & (-(int)((umask >> (i + 3)) & 1));
+            f >>= 12;
+            if (kraft > 128) break;
+        }
+        if (kraft > 128) continue;
+        for (; i < 19; i++) {
+            kraft += KLUT[f & 7] & (-(int)((umask >> i) & 1));
+            f >>= 3;
+        }
+        if (kraft != 128) continue;
+        if (validate_dyn_header(in, in_len, p, cg)) continue;
+        if ((size_t)cnt < max_out)
+            out[cnt] = p;
+        cnt++;
+        if ((size_t)cnt >= max_out) break;
+    }
+    return cnt;
+}
