@@ -35,7 +35,7 @@ _ORDER = np.asarray(consts.CODEGEN_ORDER, dtype=np.int32)
 _ORDER_INV = np.zeros(consts.NUM_CODEGEN, dtype=np.int32)
 _ORDER_INV[_ORDER] = np.arange(consts.NUM_CODEGEN)
 
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # np, not jnp: no backend init at import
 
 
 def _cummax(x, axis):

@@ -30,9 +30,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # weights must stay below INF; deflate shard histograms are < 2^18
-INF = jnp.int32(1 << 21)
+# (np scalar, not jnp: a module-level jnp constant would initialize the
+#  XLA backend at import, breaking jax.distributed.initialize)
+INF = np.int32(1 << 21)
 SYM_BITS = 9                      # alphabet <= 512 (largest is 286)
 
 

@@ -33,7 +33,7 @@ from . import onehot
 
 GRID = (3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 258)
 WIN = 264                     # sliding future-cost window (>= 258 + 1)
-BIG = jnp.int32(1 << 28)
+BIG = np.int32(1 << 28)  # np, not jnp: no backend init at import
 
 
 def _match_bits(l: jnp.ndarray, d: jnp.ndarray, ll_bits: jnp.ndarray,
