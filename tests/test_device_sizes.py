@@ -15,8 +15,25 @@ import pytest
 
 from flate_tpu.jx import pipeline2 as pp
 
-# current measured device/zlib ratio + slack; ratchet DOWN over time
-DEVICE_RATIO_BOUND = {1: 1.05, 6: 1.05, 9: 1.05}
+# current measured device/zlib ratio + ~1% slack; ratchet DOWN over time
+# (keys: (level, corpus); measured r3: text .997/1.034/1.030,
+#  binary .974/.990/.986 at the 16K-shard test config)
+DEVICE_RATIO_BOUND = {
+    (1, "text"): 1.005, (1, "binary"): 0.985,
+    (6, "text"): 1.045, (6, "binary"): 1.000,
+    (9, "text"): 1.040, (9, "binary"): 0.997,
+}
+
+# production shard size (131072 + 32K ctx): the config the bench ladder
+# and BASELINE target measure.  Text BEATS zlib at every level; the
+# mixed text+random corpus is ~2% over because block kind/tables are
+# chosen once per 128K shard (no intra-shard block segmentation yet) —
+# tighten to <= 1.00 when segmentation lands.
+PROD_RATIO_BOUND = {
+    (1, "text"): 0.985, (1, "binary"): 1.030,
+    (2, "text"): 0.950, (2, "binary"): 1.015,
+    (6, "text"): 0.995, (6, "binary"): 1.033,
+}
 
 
 def _text(n):
@@ -41,7 +58,19 @@ def test_device_size_vs_zlib(level, corpus):
     assert pygzip.decompress(blob) == data
     z = len(zlib.compress(data, level))
     ratio = len(blob) / z
-    assert ratio <= DEVICE_RATIO_BOUND[level], \
+    assert ratio <= DEVICE_RATIO_BOUND[(level, corpus)], \
+        f"device/zlib ratio {ratio:.4f} exceeds bound at level {level}"
+
+
+@pytest.mark.parametrize("level,corpus", sorted(PROD_RATIO_BOUND))
+def test_device_size_vs_zlib_production_shards(level, corpus):
+    data = _text(96 * 1024) if corpus == "text" else _binary(96 * 1024)
+    blob = pp.compress_device2(data, level=level, shard_len=131072,
+                               ctx=32768, batch=1, interpret=True)
+    assert pygzip.decompress(blob) == data
+    z = len(zlib.compress(data, level))
+    ratio = len(blob) / z
+    assert ratio <= PROD_RATIO_BOUND[(level, corpus)], \
         f"device/zlib ratio {ratio:.4f} exceeds bound at level {level}"
 
 

@@ -70,6 +70,40 @@ def test_cross_shard_context_used():
     assert len(blob) < CTX + len(data) // 50
 
 
+@pytest.mark.parametrize("level", [1, 6])
+def test_staged_and_fused_identical(rfc_text, level):
+    """The staged-jit production path and the single fused jit must be
+    the SAME program mathematically: identical packed words, bit counts,
+    and block kinds for identical inputs (VERDICT r2 item 10)."""
+    import jax.numpy as jnp
+    from flate_tpu.jx import parse as prs
+
+    K, nw, lazy, max_lazy, K3, squeeze, blk = pipeline2.LEVEL_KERNEL[level]
+    blk = min(blk, S)
+    data = rfc_text[:2 * S + 311]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    B = 3
+    shards = np.zeros((B, S), dtype=np.uint8)
+    shards.reshape(-1)[:arr.size] = arr
+    ctx0 = np.zeros(CTX, dtype=np.uint8)
+    ctx_lens = np.array([0, CTX, CTX], dtype=np.int32)
+    valid = np.array([S, S, arr.size - 2 * S], dtype=np.int32)
+    finals = np.array([0, 0, 1], dtype=np.int32)
+    kw = dict(S=S, ctx=CTX, K=K, nw=nw, lazy=lazy, max_lazy=max_lazy,
+              K3=K3, squeeze=squeeze, blk=blk, interpret=True)
+    args = (jnp.asarray(shards), jnp.asarray(ctx0), jnp.asarray(ctx_lens),
+            jnp.asarray(valid), jnp.asarray(finals))
+    w_f, tb_f, kind_f = pipeline2.encode_batch(*args, **kw)
+    w_s, tb_s, kind_s = pipeline2.encode_batch_staged(*args, **kw)
+    assert (np.asarray(tb_f) == np.asarray(tb_s)).all()
+    assert (np.asarray(kind_f) == np.asarray(kind_s)).all()
+    for i in range(B):
+        nbytes = int(np.asarray(tb_f)[i]) // 8
+        bf = np.asarray(w_f[i]).reshape(-1).tobytes()[:nbytes]
+        bs = np.asarray(w_s[i]).reshape(-1).tobytes()[:nbytes]
+        assert bf == bs, f"shard {i} streams differ"
+
+
 def test_size_sane_vs_zlib(rfc_text):
     data = rfc_text[:3 * S]
     ours = len(_compress(data, level=6)) - 18  # container overhead
