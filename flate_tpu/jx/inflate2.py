@@ -94,7 +94,8 @@ def canonical_scalars(lens: np.ndarray, nsyms: int):
 
 
 class ShardPlan:
-    """One shard's decode plan: either `stored` spans or coded scalars."""
+    """One shard's decode plan: `stored` spans, `coded` scalars, or
+    `mixed` (stored+coded blocks — segmented shard, host-decoded)."""
 
     __slots__ = ("kind", "stored_spans", "start_bit", "final",
                  "ll", "d", "out_len", "comp", "index")
@@ -107,9 +108,10 @@ class ShardPlan:
 def plan_shard(comp: bytes, out_len: int) -> ShardPlan:
     """Parse the shard's block header(s) on host (tiny, serial-cheap).
 
-    Our encoder emits per shard either ONE coded block (+ sync marker /
-    final padding) or a run of stored blocks; mixed generic streams fall
-    back to the host decoder upstream."""
+    Shards are a run of stored blocks (`stored`), start with a coded
+    block (`coded` — if more blocks follow, the device decode comes up
+    short and the caller falls back), or mix stored-then-coded blocks
+    (`mixed` — segmented shard, host-decoded)."""
     p = ShardPlan()
     p.out_len = out_len
     bits = hinf._BitCursor(comp)
@@ -130,7 +132,9 @@ def plan_shard(comp: bytes, out_len: int) -> ShardPlan:
                 break
             bfinal = bits.read(1)
             if bits.read(2) != 0:
-                raise InvalidBlockType("mixed shard block kinds")
+                # stored-then-coded: segmented shard — host decode
+                p.kind = "mixed"
+                return p
             bits.align_to_byte()
         p.kind = "stored"
         p.stored_spans = spans
@@ -727,6 +731,12 @@ def decompress_member_device(data: bytes, offset: int,
                 hasher.update(r)
                 j += 1
                 continue
+            if p.kind == "mixed":
+                r = _host_decode_shard(sh, p.out_len, bytes(out[-CTX:]))
+                out += r
+                hasher.update(r)
+                j += 1
+                continue
             k = j
             while k < nb and plans[k][0].kind == "coded":
                 k += 1
@@ -779,7 +789,18 @@ def decompress_member_device(data: bytes, offset: int,
             err_np = np.asarray(err)
             out_np = np.asarray(dev_out).reshape(Bc, S)
             if err_np.any():
-                raise InvalidCode("device decode failed")
+                # a coded-first shard with MORE blocks after its first
+                # EOB (segmented) decodes short and poisons in-batch
+                # back-references; re-decode the whole run on host —
+                # genuinely corrupt streams raise the exact taxonomy
+                for bi, jj in enumerate(run):
+                    p2, sh2 = plans[jj]
+                    r = _host_decode_shard(sh2, p2.out_len,
+                                           bytes(out[-CTX:]))
+                    out += r
+                    hasher.update(r)
+                j = k
+                continue
             for bi, jj in enumerate(run):
                 r = out_np[bi, :plans[jj][0].out_len].tobytes()
                 out += r

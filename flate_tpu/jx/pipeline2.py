@@ -53,8 +53,11 @@ LEVEL_KERNEL = {
 }
 
 
-def _nwr(S: int) -> int:
-    worst_bits = 8 * S + 40 * (S // consts.MAX_STORED_BLOCK + 2) + 64
+def _nwr(S: int, seg: int) -> int:
+    # ceiling: the kind argmin never exceeds the exact all-stored cost
+    # (44 bits per merged stored header incl. pad), + trailer block
+    nseg = -(-S // seg)
+    worst_bits = 8 * S + 44 * (nseg + 2) + 256
     return -(-worst_bits // (32 * 128)) + pk.WIN // 128
 
 
@@ -83,10 +86,12 @@ def encode_core(windows: jnp.ndarray, ctx_lens: jnp.ndarray,
         take_r, starts_r, sel = sq.squeeze_parse(
             windows[:, ctx:], m_r, d_r, ll_bits, d_bits, blk=blk)
         m_r = jnp.where(take_r, sel, 0)
+    seg = encode2.seg_size(S, blk)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], m_r, d_r, starts_r,
-        take_r, valid_lens, finals, S)
-    words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
+        take_r, valid_lens, finals, S, seg)
+    words, tbits = pk.pack_fields(vals, bits, _nwr(S, seg),
+                                  interpret=interpret)
     return words, tbits, kind
 
 
@@ -169,10 +174,12 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
         take_r, starts_r, m_r = _squeeze_stage(
             windows[:, ctx:], m_r, d_r, take_r, starts_r, valid_lens,
             blk=blk)
+    seg = encode2.seg_size(S, blk)
     vals, bits, total_bits, kind = encode2.build_fields(
         windows[:, ctx:], m_r, d_r, starts_r,
-        take_r, valid_lens, finals, S)
-    words, tbits = pk.pack_fields(vals, bits, _nwr(S), interpret=interpret)
+        take_r, valid_lens, finals, S, seg)
+    words, tbits = pk.pack_fields(vals, bits, _nwr(S, seg),
+                                  interpret=interpret)
     return words, tbits, kind
 
 

@@ -16,23 +16,23 @@ import pytest
 from flate_tpu.jx import pipeline2 as pp
 
 # current measured device/zlib ratio + ~1% slack; ratchet DOWN over time
-# (keys: (level, corpus); measured r3: text .997/1.034/1.030,
-#  binary .974/.990/.986 at the 16K-shard test config)
+# (keys: (level, corpus); measured r3 post-segmentation: text
+#  .997/1.035/1.031, binary .960/.976/.974 at the 16K-shard config —
+#  tiny shards pay fixed header cost vs zlib's 96K-window single block)
 DEVICE_RATIO_BOUND = {
-    (1, "text"): 1.005, (1, "binary"): 0.985,
-    (6, "text"): 1.045, (6, "binary"): 1.000,
-    (9, "text"): 1.040, (9, "binary"): 0.997,
+    (1, "text"): 1.005, (1, "binary"): 0.970,
+    (6, "text"): 1.045, (6, "binary"): 0.985,
+    (9, "text"): 1.040, (9, "binary"): 0.985,
 }
 
 # production shard size (131072 + 32K ctx): the config the bench ladder
-# and BASELINE target measure.  Text BEATS zlib at every level; the
-# mixed text+random corpus is ~2% over because block kind/tables are
-# chosen once per 128K shard (no intra-shard block segmentation yet) —
-# tighten to <= 1.00 when segmentation lands.
+# and BASELINE target measure.  With intra-shard block segmentation the
+# device path BEATS zlib on BOTH corpora at every level (BASELINE
+# "compressed size <= reference at same level": satisfied with margin).
 PROD_RATIO_BOUND = {
-    (1, "text"): 0.985, (1, "binary"): 1.030,
-    (2, "text"): 0.950, (2, "binary"): 1.015,
-    (6, "text"): 0.995, (6, "binary"): 1.033,
+    (1, "text"): 0.985, (1, "binary"): 0.965,
+    (2, "text"): 0.950, (2, "binary"): 0.950,
+    (6, "text"): 0.995, (6, "binary"): 0.972,
 }
 
 

@@ -95,14 +95,16 @@ HOST_EXPECT = {
     9: {'blocks': 1, 'stored_blocks': 0, 'literals': 3033,
         'matches': 3064, 'match_bytes': 29735},
 }
+# device streams end with an empty stored block (sync marker / BFINAL
+# carrier) per shard — hence 2 stored blocks for this 2-shard corpus
 DEVICE_EXPECT = {
-    1: {'blocks': 3, 'stored_blocks': 1, 'literals': 3859,
+    1: {'blocks': 4, 'stored_blocks': 2, 'literals': 3859,
         'matches': 4023, 'match_bytes': 28909},
-    4: {'blocks': 3, 'stored_blocks': 1, 'literals': 4014,
+    4: {'blocks': 4, 'stored_blocks': 2, 'literals': 4014,
         'matches': 3112, 'match_bytes': 28754},
-    6: {'blocks': 3, 'stored_blocks': 1, 'literals': 4236,
+    6: {'blocks': 4, 'stored_blocks': 2, 'literals': 4236,
         'matches': 2809, 'match_bytes': 28532},
-    9: {'blocks': 3, 'stored_blocks': 1, 'literals': 3058,
+    9: {'blocks': 4, 'stored_blocks': 2, 'literals': 3058,
         'matches': 3146, 'match_bytes': 29710},
 }
 
