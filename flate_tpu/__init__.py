@@ -15,7 +15,7 @@ Public surface (readme.md:100-125 parity):
         Compressor, Decompressor, huffman.*, store.*
 """
 
-from . import checksums, consts, errors, tables
+from . import checksums, consts, errors, metrics, tables
 from .api import Compressor, Decompressor, flate, gzip, zlib_ns as zlib
 from .containers import Container, GzipMetadata
 from .deflate import CompressOptions
@@ -25,5 +25,5 @@ __version__ = "0.1.0"
 __all__ = [
     "flate", "gzip", "zlib", "Compressor", "Decompressor",
     "Container", "GzipMetadata", "CompressOptions",
-    "checksums", "consts", "errors", "tables",
+    "checksums", "consts", "errors", "metrics", "tables",
 ]

@@ -292,30 +292,40 @@ def _compress_oneshot(data, writer, container: Container, level: int,
                       mode: str, meta: Optional[GzipMetadata],
                       opts: Optional[CompressOptions],
                       dictionary: Optional[bytes] = None):
+    from . import metrics
     raw = _to_bytes(data)
     out = io.BytesIO() if writer is None else writer
-    if mode == "deflate":
-        c = Compressor(out, container, level=level, meta=meta, opts=opts,
-                       dictionary=dictionary)
-    elif mode == "huffman":
-        c = Compressor.huffman_only(out, container, meta=meta)
-    else:
-        c = Compressor.store_only(out, container, meta=meta)
-    c.write(raw)
-    c.finish()
-    if writer is None:
-        return out.getvalue()
+    with metrics.timed(f"{container.name.lower()}.compress", len(raw),
+                       level=level, mode=mode) as m:
+        if mode == "deflate":
+            c = Compressor(out, container, level=level, meta=meta,
+                           opts=opts, dictionary=dictionary)
+        elif mode == "huffman":
+            c = Compressor.huffman_only(out, container, meta=meta)
+        else:
+            c = Compressor.store_only(out, container, meta=meta)
+        c.write(raw)
+        c.finish()
+        if writer is None:
+            blob = out.getvalue()
+            m["bytes_out"] = len(blob)
+            return blob
     return None
 
 
 def _decompress_oneshot(data, writer, container: Container,
                         verify: bool = True, dictionary=None):
+    from . import metrics
     raw = _to_bytes(data)
-    if dictionary is not None:
-        out, _ = decompress_member(raw, 0, container, verify, dictionary)
-    else:
-        from .inflate import decompress_multi
-        out = decompress_multi(raw, container, verify)
+    with metrics.timed(f"{container.name.lower()}.decompress",
+                       len(raw)) as m:
+        if dictionary is not None:
+            out, _ = decompress_member(raw, 0, container, verify,
+                                       dictionary)
+        else:
+            from .inflate import decompress_multi
+            out = decompress_multi(raw, container, verify)
+        m["bytes_out"] = len(out)
     if writer is None:
         return out
     writer.write(out)

@@ -320,14 +320,17 @@ def decompress_device_any(data: bytes,
     """Device decode of an arbitrary (unindexed) single/multi-member
     stream.  Reference behavior: inflate.zig:220-280 (any conformant
     stream); parallel design per module docstring."""
-    out = bytearray()
-    offset = 0
-    while offset < len(data):
-        chunk, offset = _decompress_member_any(
-            data, offset, container, chunk_bytes, interpret, verify)
-        out += chunk
-        if container is not Container.GZIP:
-            break
+    from .. import metrics
+    with metrics.timed("device.decompress_any", len(data)) as _m:
+        out = bytearray()
+        offset = 0
+        while offset < len(data):
+            chunk, offset = _decompress_member_any(
+                data, offset, container, chunk_bytes, interpret, verify)
+            out += chunk
+            if container is not Container.GZIP:
+                break
+        _m["bytes_out"] = len(out)
     return bytes(out)
 
 

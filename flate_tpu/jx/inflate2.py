@@ -818,12 +818,15 @@ def decompress_device(data: bytes,
                       batch: int = 8,
                       interpret: bool = False) -> bytes:
     """Device decode of a (possibly multi-member) indexed stream."""
-    out = bytearray()
-    offset = 0
-    while offset < len(data):
-        chunk, offset = decompress_member_device(
-            data, offset, container, batch=batch, interpret=interpret)
-        out += chunk
-        if container is not Container.GZIP:
-            break
+    from .. import metrics
+    with metrics.timed("device.decompress_indexed", len(data)) as _m:
+        out = bytearray()
+        offset = 0
+        while offset < len(data):
+            chunk, offset = decompress_member_device(
+                data, offset, container, batch=batch, interpret=interpret)
+            out += chunk
+            if container is not Container.GZIP:
+                break
+        _m["bytes_out"] = len(out)
     return bytes(out)

@@ -225,6 +225,17 @@ def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
     (flate_tpu.pinflate) — ~0.5-1% larger streams."""
     if level not in LEVEL_KERNEL:
         raise ValueError(f"invalid level {level}")
+    from .. import metrics
+    with metrics.timed("device.compress", len(data), level=level) as _m:
+        out = _compress_device2_impl(
+            data, level, container, shard_len, ctx, batch, index,
+            independent, interpret, fused)
+        _m["bytes_out"] = len(out)
+    return out
+
+
+def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
+                           index, independent, interpret, fused) -> bytes:
     K, nw, lazy, max_lazy, K3, squeeze, blk = LEVEL_KERNEL[level]
     blk = min(blk, shard_len)
     while shard_len % blk:

@@ -34,11 +34,15 @@ def decompress_indexed(data: bytes, threads: int | None = None,
 
     Falls back to the sequential decoder when the member carries no
     independent-shard index or the native decoder is unavailable."""
-    res = try_decompress_indexed(data, 0, verify, threads)
-    if res is not None:
-        return res[0]
-    from .inflate import decompress_member
-    out, _end = decompress_member(data, 0, Container.GZIP, verify)
+    from . import metrics
+    with metrics.timed("host.decompress_parallel", len(data)) as _m:
+        res = try_decompress_indexed(data, 0, verify, threads)
+        if res is not None:
+            _m["bytes_out"] = len(res[0])
+            return res[0]
+        from .inflate import decompress_member
+        out, _end = decompress_member(data, 0, Container.GZIP, verify)
+        _m["bytes_out"] = len(out)
     return out
 
 
