@@ -336,21 +336,28 @@ def decompress_device_any(data: bytes,
 
 def _decompress_member_any(data: bytes, offset: int,
                            container: Container, chunk_bytes: int,
-                           interpret: bool, verify: bool):
+                           interpret: bool, verify: bool,
+                           entries: list | None = None):
+    """`entries` overrides chunk-entry discovery with KNOWN block-header
+    bit positions (relative to the member body) — e.g. the per-shard
+    offsets of an FLT1 index, which make every chain exact."""
     hdr_len, _meta = parse_header(container, data[offset:])
     body = data[offset + hdr_len:]
     nbits = 8 * len(body)
 
     # ---- chunk entries (speculative chain heads) ----------------------
-    from .. import native
-    entries = [0]
-    nchunks = max(1, -(-len(body) // chunk_bytes))
-    for k in range(1, nchunks):
-        found = native.scan_headers(body, 8 * k * chunk_bytes,
-                                    8 * (k + 1) * chunk_bytes, max_out=1) \
-            if native.inflate_available() else []
-        if found:
-            entries.append(int(found[0]))
+    if entries is None:
+        from .. import native
+        entries = [0]
+        nchunks = max(1, -(-len(body) // chunk_bytes))
+        for k in range(1, nchunks):
+            found = native.scan_headers(
+                body, 8 * k * chunk_bytes, 8 * (k + 1) * chunk_bytes,
+                max_out=1) if native.inflate_available() else []
+            if found:
+                entries.append(int(found[0]))
+    else:
+        entries = sorted({0, *(int(e) for e in entries if e < nbits)})
 
     # ---- chained speculative decode rounds ----------------------------
     decoded: dict = {}           # header bit pos -> result/stored plan

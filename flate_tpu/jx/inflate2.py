@@ -680,6 +680,12 @@ def _host_decode_shard(sh: bytes, out_len: int, hist: bytes) -> bytes:
     return bytes(outb[base:base + out_len])
 
 
+class _Segmented(Exception):
+    """Internal: the member has segmented (multi-block) shards — the
+    shard-parallel fast path cannot decode it; re-route to the chained
+    device path with exact index entries."""
+
+
 def decompress_member_device(data: bytes, offset: int,
                              container: Container = Container.GZIP,
                              batch: int = 8, interpret: bool = False,
@@ -687,7 +693,28 @@ def decompress_member_device(data: bytes, offset: int,
     """Decode one indexed member starting at `offset`.
 
     Returns (bytes, next_offset).  Raises LookupError when the member
-    carries no usable FLT1 index (caller falls back to the host path)."""
+    carries no usable FLT1 index (caller falls back to the host path).
+    Members with segmented shards (intra-shard stored/coded block mix)
+    re-decode through jx.anyinflate's chained device path, with the
+    index's shard offsets as exact chain entries."""
+    try:
+        return _decompress_member_indexed(data, offset, container,
+                                          batch, interpret, verify)
+    except _Segmented:
+        from . import anyinflate
+        hdr_len, meta = parse_header(container, data[offset:])
+        comp_lens, _out_lens, _flags = parse_index_extra(meta.extra)
+        starts = np.concatenate([[0], np.cumsum(comp_lens)[:-1]])
+        entries = [8 * int(s) for s in starts]
+        return anyinflate._decompress_member_any(
+            data, offset, container, anyinflate.CHUNK_BYTES,
+            interpret, verify, entries=entries)
+
+
+def _decompress_member_indexed(data: bytes, offset: int,
+                               container: Container,
+                               batch: int, interpret: bool,
+                               verify: bool):
     hdr_len, meta = parse_header(container, data[offset:])
     if meta is None or meta.extra is None:
         raise LookupError("no FLT1 index")
@@ -732,11 +759,10 @@ def decompress_member_device(data: bytes, offset: int,
                 j += 1
                 continue
             if p.kind == "mixed":
-                r = _host_decode_shard(sh, p.out_len, bytes(out[-CTX:]))
-                out += r
-                hasher.update(r)
-                j += 1
-                continue
+                # segmented shard (stored+coded blocks): the member
+                # re-decodes on device through the chained path with
+                # exact index entries
+                raise _Segmented()
             k = j
             while k < nb and plans[k][0].kind == "coded":
                 k += 1
@@ -791,16 +817,10 @@ def decompress_member_device(data: bytes, offset: int,
             if err_np.any():
                 # a coded-first shard with MORE blocks after its first
                 # EOB (segmented) decodes short and poisons in-batch
-                # back-references; re-decode the whole run on host —
-                # genuinely corrupt streams raise the exact taxonomy
-                for bi, jj in enumerate(run):
-                    p2, sh2 = plans[jj]
-                    r = _host_decode_shard(sh2, p2.out_len,
-                                           bytes(out[-CTX:]))
-                    out += r
-                    hasher.update(r)
-                j = k
-                continue
+                # back-references; re-decode the member on the chained
+                # device path — genuinely corrupt streams raise the
+                # exact taxonomy from there
+                raise _Segmented()
             for bi, jj in enumerate(run):
                 r = out_np[bi, :plans[jj][0].out_len].tobytes()
                 out += r

@@ -53,6 +53,16 @@ def test_mutation_fuzz_trio_agrees():
     co = zlib.compressobj(6, zlib.DEFLATED, -15)
     seeds.append(co.compress(base) + co.flush(zlib.Z_SYNC_FLUSH)
                  + co.flush())
+    # device-encoder stream with segmented shards (stored/coded mix,
+    # replicated headers, empty-stored trailer) — our own emission
+    # shape must survive mutation fuzz like anyone else's
+    from flate_tpu.containers import Container
+    from flate_tpu.jx import pipeline2
+    mixed = base + bytes(random.Random(3).randrange(256)
+                         for _ in range(2048)) + base
+    seeds.append(pipeline2.compress_device2(
+        mixed, level=6, container=Container.RAW, shard_len=2048,
+        ctx=1024, batch=2, interpret=True))
     for it in range(600):
         s = bytearray(rng.choice(seeds))
         for _ in range(rng.randint(1, 6)):

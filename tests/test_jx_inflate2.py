@@ -97,3 +97,24 @@ def test_unindexed_stream_raises_lookup(rfc_text):
     blob = ft.gzip.compress(rfc_text[:2000], level=6)
     with pytest.raises(LookupError):
         _decompress(blob)
+
+
+def test_device_decode_segmented_member(rfc_text):
+    """Shards whose interior mixes compressible and incompressible
+    spans emit multiple blocks per shard (intra-shard segmentation);
+    the indexed fast path cannot walk them and must re-route the member
+    through the chained device path with exact index entries."""
+    rng = np.random.default_rng(9)
+    t = np.frombuffer(rfc_text[:2048], np.uint8)
+    parts = []
+    for _ in range(4):
+        parts += [t, rng.integers(0, 256, 3 * 1024, dtype=np.uint8), t]
+    data = np.concatenate(parts).tobytes()
+    blob = _compress(data)
+    assert _decompress(blob) == data
+    assert ft.gzip.decompress(blob) == data
+    # corruption through the re-routed path still raises exactly
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises(ft.errors.FlateError):
+        _decompress(bytes(bad))
