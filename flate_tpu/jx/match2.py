@@ -63,20 +63,58 @@ def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
 # Prep kernel: window tiles -> (key, carry words) sort operands
 # ---------------------------------------------------------------------------
 
-def _prep_kernel(nw: int, hash_bytes: int, W: int,
+FP_MUL = np.uint32(0x01000193)   # FNV prime — fingerprint polynomial
+
+
+def _split_words(nw: int, fp: bool = False) -> tuple[int, int]:
+    """Selection reach 4*nw bytes = ne EXACT carry words + nf
+    fingerprint words, each fp_j covering bytes [4*ne*2^j, 4*ne*2^(j+1)).
+    Fingerprints RANK candidates only (equal spans -> equal fp; a
+    collision merely mis-ranks); emitted lengths come from the exact
+    words, so output correctness never depends on them.
+
+    fp=False (default/production): all-exact carry (ne=nw) — CPU
+    measurement shows fp ranking with an 8-byte exact cap loses ~6.7%
+    size at level 6 (same-distance chains must re-agree on the selected
+    candidate every cap bytes and break); the fp path stays available
+    for chip-time experiments paired with a top-k chain extension."""
+    if not fp:
+        return nw, 0
+    ne = min(nw, 2)
+    nf = 0
+    reach = ne
+    while reach < nw:
+        reach *= 2
+        nf += 1
+    assert reach == nw, f"nw must be ne*2^k, got {nw}"
+    return ne, nf
+
+
+def _prep_kernel(ne: int, nf: int, hash_bytes: int, W: int,
                  cur_ref, nxt_ref, key_ref, words_ref):
     t = pl.program_id(1)
     cur = cur_ref[0, 0, :, :].astype(jnp.uint32)       # (1, TILE)
     nxt = nxt_ref[0, 0, :, :].astype(jnp.uint32)
     hal = jnp.concatenate([cur, nxt], axis=1)          # (1, 2*TILE)
-    nbytes = 4 * nw
+    nbytes = 4 * ne << nf
     planes = [hal[:, j:j + TILE] for j in range(max(nbytes, hash_bytes))]
-    for w in range(nw):
-        le = planes[4 * w] | (planes[4 * w + 1] << 8) \
+
+    def le_word(w):
+        return planes[4 * w] | (planes[4 * w + 1] << 8) \
             | (planes[4 * w + 2] << 16) | (planes[4 * w + 3] << 24)
+
+    for w in range(ne):
+        le = le_word(w)
         if w == 0 and hash_bytes < 4:
             le = le & jnp.uint32((1 << (8 * hash_bytes)) - 1)
         words_ref[0, 0, w:w + 1, :] = le
+    # fingerprint words: polynomial mix of the LE words in the span
+    for j in range(nf):
+        lo, hi = ne << j, ne << (j + 1)
+        fp = le_word(lo)
+        for w in range(lo + 1, hi):
+            fp = fp * FP_MUL + le_word(w)
+        words_ref[0, 0, ne + j:ne + j + 1, :] = fp
     # big-endian packed prefix for the Fibonacci hash (Lookup.zig:75-84)
     v = planes[0]
     for j in range(1, hash_bytes):
@@ -88,18 +126,19 @@ def _prep_kernel(nw: int, hash_bytes: int, W: int,
     key_ref[0, 0, :, :] = jnp.where(pos < W, key, SENTINEL)
 
 
-@functools.partial(jax.jit, static_argnames=("nw", "hash_bytes",
+@functools.partial(jax.jit, static_argnames=("ne", "nf", "hash_bytes",
                                              "interpret"))
-def _prep(window: jnp.ndarray, nw: int, hash_bytes: int,
+def _prep(window: jnp.ndarray, ne: int, nf: int, hash_bytes: int,
           interpret: bool = False):
-    """window (B, W) u8 -> (key (B, Wp) u32, words (B, nw, Wp) u32)."""
+    """window (B, W) u8 -> (key (B, Wp) u32, words (B, ne+nf, Wp) u32)."""
     B, W = window.shape
     T = -(-W // TILE)
     Wp = T * TILE
+    nc = ne + nf
     wpad = jnp.pad(window, ((0, 0), (0, Wp - W + TILE)))
     tiles = wpad.reshape(B, T + 1, 1, TILE)
     key, words = pl.pallas_call(
-        functools.partial(_prep_kernel, nw, hash_bytes, W),
+        functools.partial(_prep_kernel, ne, nf, hash_bytes, W),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
@@ -110,38 +149,46 @@ def _prep(window: jnp.ndarray, nw: int, hash_bytes: int,
         out_specs=(
             pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nw, TILE), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, nc, TILE), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
-            jax.ShapeDtypeStruct((B, T, nw, TILE), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T, nc, TILE), jnp.uint32),
         ),
         interpret=interpret,
     )(tiles, tiles)
-    return key.reshape(B, Wp), words.reshape(B, T, nw, TILE)
+    return key.reshape(B, Wp), words.reshape(B, T, nc, TILE)
 
 
 # ---------------------------------------------------------------------------
 # Matcher kernel: K sorted predecessors, halo from the previous block
 # ---------------------------------------------------------------------------
 
-def _matcher_kernel(K: int, nw: int,
+def _matcher_kernel(K: int, ne: int, nf: int,
                     kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref):
     """Blocks (1, 1, C, TILE): kc/wc = this tile, kp/wp = previous tile
-    (block 0 of the operand arrays is a sentinel tile)."""
+    (block 0 of the operand arrays is a sentinel tile).
+
+    Exact match length from the ne carry words (cap 4*ne bytes); the nf
+    fingerprint words extend the RANKING reach to 4*ne*2^nf bytes —
+    if the exact cap is hit and fp_0..fp_j agree, the candidate ranks
+    as a 4*ne*2^(j+1)-byte match.  The EMITTED length is always the
+    exact one, so fp collisions can only mis-rank, never corrupt."""
     PAD = K
+    nc = ne + nf
     tkey = kc_ref[0, 0, :, :]                          # (1, TILE) u32
     hal_k = jnp.concatenate([kp_ref[0, 0, :, TILE - PAD:], tkey], axis=1)
     tpos = (tkey & POS_MASK).astype(jnp.int32)
     tbucket = tkey >> POS_BITS
-    tw = [wc_ref[0, t, 0:1, :] for t in range(nw)]     # (1, TILE) each
+    tw = [wc_ref[0, t, 0:1, :] for t in range(nc)]     # (1, TILE) each
     hal_w = [jnp.concatenate([wp_ref[0, t, 0:1, TILE - PAD:],
-                              tw[t]], axis=1) for t in range(nw)]
+                              tw[t]], axis=1) for t in range(nc)]
     min_src = meta_ref[0, 0, 0]
     limit = meta_ref[0, 0, 1]
     max_dist = meta_ref[0, 0, 2]
     maxlen = jnp.minimum(consts.MAX_MATCH_LEN, limit - tpos)
+    cap = 4 * ne
 
     n = tpos.shape
     best_score = jnp.full(n, -1, jnp.int32)
@@ -156,12 +203,18 @@ def _matcher_kernel(K: int, nw: int,
             & (cpos < limit)
         ml = jnp.zeros_like(tpos)
         run = (tkey == tkey)
-        for t in range(nw):
+        for t in range(ne):
             c = _tz_bytes(tw[t] ^ hal_w[t][:, o:o + TILE])
             ml = ml + jnp.where(run, c, 0)
             run = run & (c == 4)
         ml = jnp.minimum(ml, maxlen)
-        score = (ml << 16) - dist
+        est = ml
+        fp_run = ml == cap
+        for j in range(nf):
+            fp_run = fp_run & (tw[ne + j][:, :]
+                               == hal_w[ne + j][:, o:o + TILE])
+            est = est + jnp.where(fp_run, cap << j, 0)
+        score = (est << 16) - dist
         upd = valid & (ml >= consts.MIN_MATCH_LEN) & (score > best_score)
         best_score = jnp.where(upd, score, best_score)
         best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
@@ -169,17 +222,18 @@ def _matcher_kernel(K: int, nw: int,
     out_ref[0, 0, :, :] = best_ld
 
 
-@functools.partial(jax.jit, static_argnames=("K", "nw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "ne", "nf", "interpret"))
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
-                 meta: jnp.ndarray, K: int, nw: int,
+                 meta: jnp.ndarray, K: int, ne: int, nf: int,
                  interpret: bool = False) -> jnp.ndarray:
-    """skey_t (B, T+1, 1, TILE), swords_t (B, nw, T+1, TILE): tiled sort
-    results with a sentinel tile at index 0 (word-major layout so the
-    post-sort re-tiling is a pure reshape).  Returns (B, T*TILE) u32
-    best len<<16|dist per sorted row."""
+    """skey_t (B, T+1, 1, TILE), swords_t (B, ne+nf, T+1, TILE): tiled
+    sort results with a sentinel tile at index 0 (word-major layout so
+    the post-sort re-tiling is a pure reshape).  Returns (B, T*TILE)
+    u32 best len<<16|dist per sorted row."""
     B, T1, _, _ = skey_t.shape
     T = T1 - 1
-    kern = functools.partial(_matcher_kernel, K, nw)
+    nc = ne + nf
+    kern = functools.partial(_matcher_kernel, K, ne, nf)
     out = pl.pallas_call(
         kern,
         grid=(B, T),
@@ -188,9 +242,9 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nw, 1, TILE), lambda b, t: (b, 0, t + 1, 0),
+            pl.BlockSpec((1, nc, 1, TILE), lambda b, t: (b, 0, t + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nw, 1, TILE), lambda b, t: (b, 0, t, 0),
+            pl.BlockSpec((1, nc, 1, TILE), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -204,18 +258,21 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
 
 
 def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
-                    hash_bytes: int, max_dist: int, interpret: bool):
+                    hash_bytes: int, max_dist: int, interpret: bool,
+                    fp: bool = False):
     """One hash-bucket candidate scan: hash -> carried sort -> kernel ->
     unsort.  Returns best (len << 16 | dist) u32 per position."""
     B, W = window.shape
     T = -(-W // TILE)
     Wp = T * TILE
+    ne, nf = _split_words(nw, fp)
+    nc = ne + nf
 
-    key, words_t = _prep(window, nw, hash_bytes, interpret=interpret)
+    key, words_t = _prep(window, ne, nf, hash_bytes, interpret=interpret)
 
     # carried-operand sort: the carry words ride along with the keys so
     # no post-sort gather is needed (take_along_axis scalarizes on TPU)
-    words_flat = [words_t[:, :, t, :].reshape(B, Wp) for t in range(nw)]
+    words_flat = [words_t[:, :, t, :].reshape(B, Wp) for t in range(nc)]
     sorted_ops = jax.lax.sort([key] + words_flat, dimension=1, num_keys=1)
     skey = sorted_ops[0]
     spos = (skey & POS_MASK).astype(jnp.int32)
@@ -224,10 +281,10 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
     sent_k = jnp.full((B, 1, 1, TILE), SENTINEL, jnp.uint32)
     skey_t = jnp.concatenate(
         [sent_k, skey.reshape(B, T, 1, TILE)], axis=1)
-    # word-major (B, nw, T+1, TILE): re-tiling each sorted operand is a
+    # word-major (B, nc, T+1, TILE): re-tiling each sorted operand is a
     # pure reshape — no transpose through HBM
-    sw = jnp.stack(sorted_ops[1:], axis=1).reshape(B, nw, T, TILE)
-    sent_w = jnp.zeros((B, nw, 1, TILE), jnp.uint32)
+    sw = jnp.stack(sorted_ops[1:], axis=1).reshape(B, nc, T, TILE)
+    sent_w = jnp.zeros((B, nc, 1, TILE), jnp.uint32)
     swords_t = jnp.concatenate([sent_w, sw], axis=2)
 
     meta = jnp.stack([
@@ -235,7 +292,7 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
         jnp.full((B,), max_dist, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     ], axis=1)
-    best = _run_matcher(skey_t, swords_t, meta, K, nw,
+    best = _run_matcher(skey_t, swords_t, meta, K, ne, nf,
                         interpret=interpret)
 
     # unsort: spos is a permutation of [0, W) (+ sentinel tails); sorting
@@ -246,11 +303,12 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "nw", "hash_bytes", "ctx",
-                                             "K3", "interpret"))
+                                             "K3", "fp", "interpret"))
 def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
                        valid_len: jnp.ndarray, *, K: int, nw: int = 2,
                        hash_bytes: int = 4, ctx: int = mtc.CTX,
-                       K3: int = 0, interpret: bool = False
+                       K3: int = 0, fp: bool = False,
+                       interpret: bool = False
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (len, dist) per window position via the fused kernel.
 
@@ -269,7 +327,7 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
 
     ld = _candidate_pass(window, min_src_a, limit_a, K=K, nw=nw,
                          hash_bytes=4, max_dist=consts.MAX_DISTANCE,
-                         interpret=interpret)
+                         interpret=interpret, fp=fp)
     mlen = (ld >> 16).astype(jnp.int32)
     mdist = (ld & 0xFFFF).astype(jnp.int32)
 
@@ -305,8 +363,9 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     mlen = jnp.where(upd, rlen, mlen)
     mdist = jnp.where(upd, rdist, mdist)
 
-    # same-distance continuation chains extend past the carry cap
-    mlen = runs.extend_chains(mlen, mdist, limit, cap=4 * nw,
+    # same-distance continuation chains extend past the EXACT carry cap
+    mlen = runs.extend_chains(mlen, mdist, limit,
+                              cap=4 * _split_words(nw, fp)[0],
                               interpret=interpret)
 
     drop = (mlen == consts.MIN_MATCH_LEN) & (mdist > 4096)

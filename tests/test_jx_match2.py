@@ -95,3 +95,27 @@ def test_fused_matcher_finds_long_runs():
         jax.numpy.asarray(valid_len), K=16, nw=4, ctx=CTX, interpret=True)
     mlen = np.asarray(mlen)
     assert mlen[0, CTX + 512] >= 256    # long continuation found
+
+
+def test_fp_ranked_pass_is_valid(rfc_text):
+    """The opt-in fingerprint-ranked scan (fp=True: exact carry split
+    into 2 exact words + ranking fingerprints) must still produce only
+    VALID matches — emitted lengths come from the exact words, so every
+    (len, dist) must satisfy window[p-d:p-d+len] == window[p:p+len]."""
+    import jax.numpy as jnp
+    data = np.frombuffer(rfc_text[:8192], np.uint8)
+    W = 8192
+    window = jnp.asarray(data[None, :W])
+    ctx_len = jnp.asarray([0], jnp.int32)
+    valid = jnp.asarray([W], jnp.int32)
+    mlen, mdist = match2.find_matches_fused(
+        window, ctx_len, valid, K=8, nw=8, fp=True, interpret=True)
+    ml = np.asarray(mlen)[0]
+    md = np.asarray(mdist)[0]
+    for p in np.nonzero(ml >= 3)[0][:500]:
+        l, d = int(ml[p]), int(md[p])
+        assert 1 <= d <= p
+        got = bytes(data[p:p + l])
+        # overlapping matches replicate the period
+        want = bytes((data[p - d + (i % d)] for i in range(l)))
+        assert got == want, (p, l, d)
