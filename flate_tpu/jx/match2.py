@@ -165,8 +165,9 @@ def _prep(window: jnp.ndarray, ne: int, nf: int, hash_bytes: int,
 # Matcher kernel: K sorted predecessors, halo from the previous block
 # ---------------------------------------------------------------------------
 
-def _matcher_kernel(K: int, ne: int, nf: int,
-                    kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref):
+def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
+                    kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref,
+                    out2_ref=None):
     """Blocks (1, 1, C, TILE): kc/wc = this tile, kp/wp = previous tile
     (block 0 of the operand arrays is a sentinel tile).
 
@@ -193,6 +194,9 @@ def _matcher_kernel(K: int, ne: int, nf: int,
     n = tpos.shape
     best_score = jnp.full(n, -1, jnp.int32)
     best_ld = jnp.zeros(n, jnp.uint32)
+    if top2:
+        sec_score = jnp.full(n, -1, jnp.int32)
+        sec_ld = jnp.zeros(n, jnp.uint32)
     for k in range(K):
         o = PAD - 1 - k
         ck = hal_k[:, o:o + TILE]
@@ -215,25 +219,43 @@ def _matcher_kernel(K: int, ne: int, nf: int,
                                == hal_w[ne + j][:, o:o + TILE])
             est = est + jnp.where(fp_run, cap << j, 0)
         score = (est << 16) - dist
-        upd = valid & (ml >= consts.MIN_MATCH_LEN) & (score > best_score)
+        ok = valid & (ml >= consts.MIN_MATCH_LEN)
+        upd = ok & (score > best_score)
+        if top2:
+            # candidates have pairwise-distinct distances, so demoting
+            # the old best keeps the two tracked distances distinct
+            upd2 = ok & ~upd & (score > sec_score)
+            sec_score = jnp.where(upd, best_score,
+                                  jnp.where(upd2, score, sec_score))
+            sec_ld = jnp.where(upd, best_ld,
+                               jnp.where(upd2, (ml.astype(jnp.uint32)
+                                                << 16)
+                                         | dist.astype(jnp.uint32),
+                                         sec_ld))
         best_score = jnp.where(upd, score, best_score)
         best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
                             | dist.astype(jnp.uint32), best_ld)
     out_ref[0, 0, :, :] = best_ld
+    if top2:
+        out2_ref[0, 0, :, :] = sec_ld
 
 
-@functools.partial(jax.jit, static_argnames=("K", "ne", "nf", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "ne", "nf", "top2",
+                                             "interpret"))
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                  meta: jnp.ndarray, K: int, ne: int, nf: int,
-                 interpret: bool = False) -> jnp.ndarray:
+                 top2: bool = False, interpret: bool = False):
     """skey_t (B, T+1, 1, TILE), swords_t (B, ne+nf, T+1, TILE): tiled
     sort results with a sentinel tile at index 0 (word-major layout so
     the post-sort re-tiling is a pure reshape).  Returns (B, T*TILE)
-    u32 best len<<16|dist per sorted row."""
+    u32 best len<<16|dist per sorted row (a pair of them when top2)."""
     B, T1, _, _ = skey_t.shape
     T = T1 - 1
     nc = ne + nf
-    kern = functools.partial(_matcher_kernel, K, ne, nf)
+    kern = functools.partial(_matcher_kernel, K, ne, nf, top2)
+    ospec = pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32)
     out = pl.pallas_call(
         kern,
         grid=(B, T),
@@ -249,19 +271,21 @@ def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
             pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
+        out_specs=(ospec, ospec) if top2 else ospec,
+        out_shape=(oshape, oshape) if top2 else oshape,
         interpret=interpret,
     )(skey_t, skey_t, swords_t, swords_t, meta[:, None, :])
+    if top2:
+        return out[0].reshape(B, T * TILE), out[1].reshape(B, T * TILE)
     return out.reshape(B, T * TILE)
 
 
 def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
                     hash_bytes: int, max_dist: int, interpret: bool,
-                    fp: bool = False):
+                    fp: bool = False, top2: bool = False):
     """One hash-bucket candidate scan: hash -> carried sort -> kernel ->
-    unsort.  Returns best (len << 16 | dist) u32 per position."""
+    unsort.  Returns best (len << 16 | dist) u32 per position (a pair
+    of them when top2)."""
     B, W = window.shape
     T = -(-W // TILE)
     Wp = T * TILE
@@ -292,11 +316,17 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
         jnp.full((B,), max_dist, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     ], axis=1)
-    best = _run_matcher(skey_t, swords_t, meta, K, ne, nf,
-                        interpret=interpret)
-
     # unsort: spos is a permutation of [0, W) (+ sentinel tails); sorting
     # by it carries the results back to position order without a scatter
+    if top2:
+        best, best2 = _run_matcher(skey_t, swords_t, meta, K, ne, nf,
+                                   top2=True, interpret=interpret)
+        _, ld, ld2 = jax.lax.sort(
+            [spos.astype(jnp.uint32), best, best2],
+            dimension=1, num_keys=1)
+        return ld[:, :W], ld2[:, :W]
+    best = _run_matcher(skey_t, swords_t, meta, K, ne, nf,
+                        interpret=interpret)
     _, ld = jax.lax.sort([spos.astype(jnp.uint32), best],
                          dimension=1, num_keys=1)
     return ld[:, :W]
@@ -325,11 +355,27 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
     min_src_a = (ctx - ctx_len).astype(jnp.int32)
     limit_a = (ctx + valid_len).astype(jnp.int32)
 
-    ld = _candidate_pass(window, min_src_a, limit_a, K=K, nw=nw,
-                         hash_bytes=4, max_dist=consts.MAX_DISTANCE,
-                         interpret=interpret, fp=fp)
-    mlen = (ld >> 16).astype(jnp.int32)
-    mdist = (ld & 0xFFFF).astype(jnp.int32)
+    limit = (ctx + valid_len).astype(jnp.int32)
+    if fp:
+        # fingerprint ranking emits EXACT lengths capped at 4*ne bytes;
+        # the top-2 chained extension recovers full lengths even when
+        # the next position's best selection is a different distance
+        ld, ld2 = _candidate_pass(
+            window, min_src_a, limit_a, K=K, nw=nw, hash_bytes=4,
+            max_dist=consts.MAX_DISTANCE, interpret=interpret,
+            fp=True, top2=True)
+        mlen, mdist = runs.extend_chains2(
+            (ld >> 16).astype(jnp.int32), (ld & 0xFFFF).astype(jnp.int32),
+            (ld2 >> 16).astype(jnp.int32),
+            (ld2 & 0xFFFF).astype(jnp.int32),
+            limit, cap=4 * _split_words(nw, True)[0],
+            interpret=interpret)
+    else:
+        ld = _candidate_pass(window, min_src_a, limit_a, K=K, nw=nw,
+                             hash_bytes=4, max_dist=consts.MAX_DISTANCE,
+                             interpret=interpret)
+        mlen = (ld >> 16).astype(jnp.int32)
+        mdist = (ld & 0xFFFF).astype(jnp.int32)
 
     if K3 > 0:
         ld3 = _candidate_pass(window, min_src_a, limit_a, K=K3, nw=1,

@@ -142,6 +142,95 @@ def _extend_kernel(cap: int, len_ref, dist_ref, meta_ref, out_ref):
     out_ref[0, 0, :, :] = out[:, :TILE]
 
 
+def _extend2_kernel(cap: int, l1_ref, d1_ref, l2_ref, d2_ref, meta_ref,
+                    out_ref):
+    """Top-2 same-distance composition: a cap-saturated match at p with
+    distance d continues through position p+cap when EITHER of p+cap's
+    top-2 candidates has distance d — the chain survives the next
+    position selecting a different best candidate (the failure mode
+    that makes single-candidate chains break every `cap` bytes)."""
+    l1 = l1_ref[0, 0, :, :]
+    d1 = d1_ref[0, 0, :, :]
+    l2 = l2_ref[0, 0, :, :]
+    d2 = d2_ref[0, 0, :, :]
+    limit = meta_ref[0, 0, 0, 0]
+    tbase = meta_ref[0, 0, 0, 1]
+    L = l1.shape[1]
+    pos = tbase + jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    maxlen = jnp.clip(limit - pos, 0, consts.MAX_MATCH_LEN)
+
+    nd1 = pltpu.roll(d1, L - cap, 1)
+    nd2 = pltpu.roll(d2, L - cap, 1)
+    c1a = (l1 == cap) & (nd1 == d1) & (d1 > 0)
+    c1b = (l1 == cap) & ~c1a & (nd2 == d1) & (d1 > 0)
+    c2a = (l2 == cap) & (nd1 == d2) & (d2 > 0)
+    c2b = (l2 == cap) & ~c2a & (nd2 == d2) & (d2 > 0)
+    t1, t2 = l1, l2
+    rounds = -(-consts.MAX_MATCH_LEN // cap) + 1
+    for _ in range(rounds):
+        n1 = pltpu.roll(t1, L - cap, 1)
+        n2 = pltpu.roll(t2, L - cap, 1)
+        v1 = jnp.minimum(cap + n1, 2 * consts.MAX_MATCH_LEN)
+        v2 = jnp.minimum(cap + n2, 2 * consts.MAX_MATCH_LEN)
+        t1 = jnp.where(c1a, v1, jnp.where(c1b, v2, l1))
+        t2 = jnp.where(c2a, v1, jnp.where(c2b, v2, l2))
+    t1 = jnp.minimum(jnp.minimum(t1, consts.MAX_MATCH_LEN), maxlen)
+    t2 = jnp.minimum(jnp.minimum(t2, consts.MAX_MATCH_LEN), maxlen)
+    s1 = jnp.where(t1 >= consts.MIN_MATCH_LEN,
+                   (t1 << SCORE_SHIFT) - d1, -1)
+    s2 = jnp.where(t2 >= consts.MIN_MATCH_LEN,
+                   (t2 << SCORE_SHIFT) - d2, -1)
+    pick2 = s2 > s1
+    out_l = jnp.where(pick2, t2, t1)
+    out_d = jnp.where(pick2, d2, d1)
+    # the maxlen clip can shorten tail matches below MIN: drop them
+    live = out_l >= consts.MIN_MATCH_LEN
+    out_l = jnp.where(live, out_l, 0)
+    out_d = jnp.where(live, out_d, 0)
+    out = (out_l.astype(jnp.uint32) << 16) | out_d.astype(jnp.uint32)
+    out_ref[0, 0, :, :] = out[:, :TILE]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def extend_chains2(l1, d1, l2, d2, limit: jnp.ndarray, cap: int,
+                   interpret: bool = False):
+    """Top-2 chain extension; returns (mlen, mdist) with the better of
+    the two extended candidates per position."""
+    B, W = l1.shape
+    T = -(-W // TILE)
+    Wp = T * TILE
+
+    def tile(x):
+        xp = jnp.pad(x, ((0, 0), (0, Wp - W + HALO)))
+        return jnp.concatenate(
+            [xp[:, None, None, t * TILE: t * TILE + TILE + HALO]
+             for t in range(T)], axis=1)
+
+    tb = jnp.arange(T, dtype=jnp.int32) * TILE
+    meta = jnp.stack([
+        jnp.broadcast_to(limit[:, None], (B, T)),
+        jnp.broadcast_to(tb[None, :], (B, T)),
+        jnp.zeros((B, T), jnp.int32),
+        jnp.zeros((B, T), jnp.int32),
+    ], axis=2)[:, :, None, :]
+
+    L = TILE + HALO
+    out = pl.pallas_call(
+        functools.partial(_extend2_kernel, cap),
+        grid=(B, T),
+        in_specs=[pl.BlockSpec((1, 1, 1, L), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
+        interpret=interpret,
+    )(tile(l1), tile(d1), tile(l2), tile(d2), meta)
+    ld = out.reshape(B, Wp)[:, :W]
+    return (ld >> 16).astype(jnp.int32), (ld & 0xFFFF).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
                   limit: jnp.ndarray, cap: int,
