@@ -143,6 +143,19 @@ def sec_headline() -> dict:
             out["stage_profile"] = _stage_profile(data)
         except Exception as e:  # pragma: no cover
             out["stage_profile_error"] = f"{type(e).__name__}: {e}"[:200]
+    if os.environ.get("BENCH_FUSED") == "1" and PIPE == "v2":
+        # compile-time accounting for the single-fused-jit twin (the
+        # staged path is the default; 12-vs-498 s variance should be
+        # data, not anecdote)
+        try:
+            from flate_tpu.jx.pipeline2 import compress_device2 as dc2
+            t0 = time.time()
+            fb = dc2(data[: 4 * 1024 * 1024], level=LEVEL, fused=True)
+            out["fused_compile_seconds"] = round(time.time() - t0, 1)
+            import gzip as pygz
+            out["fused_ok"] = pygz.decompress(fb) == data[: 4 * 1024 * 1024]
+        except Exception as e:  # pragma: no cover
+            out["fused_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -166,7 +179,23 @@ def sec_ladder() -> dict:
             }
         except Exception as e:  # pragma: no cover
             lad[str(lv)] = {"error": f"{type(e).__name__}: {e}"[:200]}
-    return {"ladder": lad, "ladder_bytes": len(data)}
+    # size-vs-zlib on NON-self-referential corpora (text + mixed) so the
+    # "beats zlib" claim is not limited to the repo-source corpus
+    sizes = {}
+    for name, cd in (("text", text_corpus(3_359_630)),
+                     ("mixed", mixed_corpus(8 * 1024 * 1024))):
+        row = {}
+        for lv in (1, 6, 9):
+            try:
+                blob = dev_compress(cd, level=lv)
+                assert pygz.decompress(blob) == cd
+                row[str(lv)] = round(
+                    len(blob) / len(zlib.compress(cd, lv)), 4)
+            except Exception as e:  # pragma: no cover
+                row[str(lv)] = f"{type(e).__name__}"[:60]
+        sizes[name] = row
+    return {"ladder": lad, "ladder_bytes": len(data),
+            "size_vs_zlib_corpora": sizes}
 
 
 def sec_inflate() -> dict:
