@@ -615,9 +615,21 @@ def _resolve(words, counts, out_lens, ctx0, S: int):
     Pf = jnp.concatenate([jnp.arange(CTX, dtype=jnp.int32),
                           P.reshape(-1),
                           jnp.asarray([T], jnp.int32)])
-    rounds = max(1, int(np.ceil(np.log2(max(T, 2)))))
-    for _ in range(rounds):
-        Pf = jnp.take(Pf, Pf)
+
+    # pointer doubling to fixpoint — real chains are shallow (match
+    # ancestry depth), so converge adaptively instead of log2(T) rounds
+    # (same treatment as anyinflate.resolve_compact)
+    def dbl_cond(c):
+        _, done, r = c
+        return (~done) & (r < 40)
+
+    def dbl_body(c):
+        p, _, r = c
+        p2 = jnp.take(p, p)
+        return p2, jnp.all(p2 == p), r + 1
+
+    Pf, _, _ = jax.lax.while_loop(
+        dbl_cond, dbl_body, (Pf, jnp.asarray(False), jnp.int32(0)))
     out = jnp.take(init, Pf)[CTX:T]
     return out.astype(jnp.uint8), err
 
