@@ -46,10 +46,21 @@ from . import match as mtc
 from . import runs
 
 TILE = 8192
+SUB = 8                          # sublane rows per tile
+LANES = TILE // SUB              # 1024 lanes per row
 POS_BITS = 18                    # window <= 256 KiB positions
 POS_MASK = (1 << POS_BITS) - 1
 HASH_BITS = 32 - POS_BITS        # 14-bit buckets (vs 15 in the host spec)
 SENTINEL = np.uint32(0xFFFFFFFF)
+
+# Tiles are (SUB, LANES) 2-D vregs, NOT (1, TILE): a (1, 8192) block
+# occupies vregs at 1/8 sublane occupancy, so every vector op runs at
+# 1/8 throughput — chip-measured 1.43 ms per candidate vs the ~0.18 ms
+# the op count predicts.  Flat-order shifts across the 2-D layout are
+# two lane-rolls + a select (runs.shift_back / runs.shift_fwd).
+_lane_iota = runs.lane_iota
+_shift_back = runs.shift_back
+_shift_fwd = runs.shift_fwd
 
 
 def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
@@ -93,11 +104,13 @@ def _split_words(nw: int, fp: bool = False) -> tuple[int, int]:
 def _prep_kernel(ne: int, nf: int, hash_bytes: int, W: int,
                  cur_ref, nxt_ref, key_ref, words_ref):
     t = pl.program_id(1)
-    cur = cur_ref[0, 0, :, :].astype(jnp.uint32)       # (1, TILE)
+    cur = cur_ref[0, 0, :, :].astype(jnp.uint32)       # (SUB, LANES)
     nxt = nxt_ref[0, 0, :, :].astype(jnp.uint32)
-    hal = jnp.concatenate([cur, nxt], axis=1)          # (1, 2*TILE)
+    dn = jnp.concatenate([cur[1:, :], nxt[:1, :]], axis=0)
+    lane = _lane_iota(cur.shape)
     nbytes = 4 * ne << nf
-    planes = [hal[:, j:j + TILE] for j in range(max(nbytes, hash_bytes))]
+    planes = [cur] + [_shift_fwd(cur, dn, j, lane)
+                      for j in range(1, max(nbytes, hash_bytes))]
 
     def le_word(w):
         return planes[4 * w] | (planes[4 * w + 1] << 8) \
@@ -107,58 +120,61 @@ def _prep_kernel(ne: int, nf: int, hash_bytes: int, W: int,
         le = le_word(w)
         if w == 0 and hash_bytes < 4:
             le = le & jnp.uint32((1 << (8 * hash_bytes)) - 1)
-        words_ref[0, 0, w:w + 1, :] = le
+        words_ref[0, 0, w] = le
     # fingerprint words: polynomial mix of the LE words in the span
     for j in range(nf):
         lo, hi = ne << j, ne << (j + 1)
         fp = le_word(lo)
         for w in range(lo + 1, hi):
             fp = fp * FP_MUL + le_word(w)
-        words_ref[0, 0, ne + j:ne + j + 1, :] = fp
+        words_ref[0, 0, ne + j] = fp
     # big-endian packed prefix for the Fibonacci hash (Lookup.zig:75-84)
     v = planes[0]
     for j in range(1, hash_bytes):
         v = (v << jnp.uint32(8)) | planes[j]
     h = (v * jnp.uint32(consts.HASH_MUL)) >> jnp.uint32(32 - HASH_BITS)
-    pos = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+    pos = t * TILE + sub * LANES + lane
     key = (h << jnp.uint32(POS_BITS)) | pos.astype(jnp.uint32)
     # pad positions (>= W) sort to the end and can never be candidates
-    key_ref[0, 0, :, :] = jnp.where(pos < W, key, SENTINEL)
+    key_ref[0, 0] = jnp.where(pos < W, key, SENTINEL)
 
 
 @functools.partial(jax.jit, static_argnames=("ne", "nf", "hash_bytes",
                                              "interpret"))
 def _prep(window: jnp.ndarray, ne: int, nf: int, hash_bytes: int,
           interpret: bool = False):
-    """window (B, W) u8 -> (key (B, Wp) u32, words (B, ne+nf, Wp) u32)."""
+    """window (B, W) u8 -> (key (B, Wp) u32, words (B, T, nc, SUB,
+    LANES) u32, flat order along the trailing (SUB, LANES))."""
     B, W = window.shape
     T = -(-W // TILE)
     Wp = T * TILE
     nc = ne + nf
     wpad = jnp.pad(window, ((0, 0), (0, Wp - W + TILE)))
-    tiles = wpad.reshape(B, T + 1, 1, TILE)
+    tiles = wpad.reshape(B, T + 1, SUB, LANES)
     key, words = pl.pallas_call(
         functools.partial(_prep_kernel, ne, nf, hash_bytes, W),
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t + 1, 0, 0),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t + 1, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nc, TILE), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, nc, SUB, LANES),
+                         lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32),
-            jax.ShapeDtypeStruct((B, T, nc, TILE), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T, SUB, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((B, T, nc, SUB, LANES), jnp.uint32),
         ),
         interpret=interpret,
     )(tiles, tiles)
-    return key.reshape(B, Wp), words.reshape(B, T, nc, TILE)
+    return key.reshape(B, Wp), words
 
 
 # ---------------------------------------------------------------------------
@@ -168,23 +184,26 @@ def _prep(window: jnp.ndarray, ne: int, nf: int, hash_bytes: int,
 def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
                     kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref,
                     out2_ref=None):
-    """Blocks (1, 1, C, TILE): kc/wc = this tile, kp/wp = previous tile
-    (block 0 of the operand arrays is a sentinel tile).
+    """Blocks (1, 1, [nc,] SUB, LANES): kc/wc = this tile, kp/wp = the
+    previous tile (block 0 of the operand arrays is a sentinel tile).
+    Candidate k is the flat predecessor at sorted distance k+1, reached
+    with the 2-D roll-select shift (requires K <= LANES).
 
     Exact match length from the ne carry words (cap 4*ne bytes); the nf
     fingerprint words extend the RANKING reach to 4*ne*2^nf bytes —
     if the exact cap is hit and fp_0..fp_j agree, the candidate ranks
     as a 4*ne*2^(j+1)-byte match.  The EMITTED length is always the
     exact one, so fp collisions can only mis-rank, never corrupt."""
-    PAD = K
     nc = ne + nf
-    tkey = kc_ref[0, 0, :, :]                          # (1, TILE) u32
-    hal_k = jnp.concatenate([kp_ref[0, 0, :, TILE - PAD:], tkey], axis=1)
+    tkey = kc_ref[0, 0]                                # (SUB, LANES) u32
+    ukey = jnp.concatenate([kp_ref[0, 0, SUB - 1:, :], tkey[:-1, :]],
+                           axis=0)
+    lane = _lane_iota(tkey.shape)
     tpos = (tkey & POS_MASK).astype(jnp.int32)
     tbucket = tkey >> POS_BITS
-    tw = [wc_ref[0, t, 0:1, :] for t in range(nc)]     # (1, TILE) each
-    hal_w = [jnp.concatenate([wp_ref[0, t, 0:1, TILE - PAD:],
-                              tw[t]], axis=1) for t in range(nc)]
+    tw = [wc_ref[0, 0, t] for t in range(nc)]          # (SUB, LANES) each
+    uw = [jnp.concatenate([wp_ref[0, 0, t, SUB - 1:, :], tw[t][:-1, :]],
+                          axis=0) for t in range(nc)]
     min_src = meta_ref[0, 0, 0]
     limit = meta_ref[0, 0, 1]
     max_dist = meta_ref[0, 0, 2]
@@ -198,8 +217,8 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
         sec_score = jnp.full(n, -1, jnp.int32)
         sec_ld = jnp.zeros(n, jnp.uint32)
     for k in range(K):
-        o = PAD - 1 - k
-        ck = hal_k[:, o:o + TILE]
+        d = k + 1
+        ck = _shift_back(tkey, ukey, d, lane)
         cpos = (ck & POS_MASK).astype(jnp.int32)
         dist = tpos - cpos
         valid = ((ck >> POS_BITS) == tbucket) & (dist >= 1) \
@@ -208,15 +227,15 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
         ml = jnp.zeros_like(tpos)
         run = (tkey == tkey)
         for t in range(ne):
-            c = _tz_bytes(tw[t] ^ hal_w[t][:, o:o + TILE])
+            c = _tz_bytes(tw[t] ^ _shift_back(tw[t], uw[t], d, lane))
             ml = ml + jnp.where(run, c, 0)
             run = run & (c == 4)
         ml = jnp.minimum(ml, maxlen)
         est = ml
         fp_run = ml == cap
         for j in range(nf):
-            fp_run = fp_run & (tw[ne + j][:, :]
-                               == hal_w[ne + j][:, o:o + TILE])
+            fp_run = fp_run & (tw[ne + j] == _shift_back(
+                tw[ne + j], uw[ne + j], d, lane))
             est = est + jnp.where(fp_run, cap << j, 0)
         score = (est << 16) - dist
         ok = valid & (ml >= consts.MIN_MATCH_LEN)
@@ -235,9 +254,9 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
         best_score = jnp.where(upd, score, best_score)
         best_ld = jnp.where(upd, (ml.astype(jnp.uint32) << 16)
                             | dist.astype(jnp.uint32), best_ld)
-    out_ref[0, 0, :, :] = best_ld
+    out_ref[0, 0] = best_ld
     if top2:
-        out2_ref[0, 0, :, :] = sec_ld
+        out2_ref[0, 0] = sec_ld
 
 
 @functools.partial(jax.jit, static_argnames=("K", "ne", "nf", "top2",
@@ -245,29 +264,34 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
 def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
                  meta: jnp.ndarray, K: int, ne: int, nf: int,
                  top2: bool = False, interpret: bool = False):
-    """skey_t (B, T+1, 1, TILE), swords_t (B, ne+nf, T+1, TILE): tiled
-    sort results with a sentinel tile at index 0 (word-major layout so
-    the post-sort re-tiling is a pure reshape).  Returns (B, T*TILE)
-    u32 best len<<16|dist per sorted row (a pair of them when top2)."""
+    """skey_t (B, T+1, SUB, LANES), swords_t (B, T+1, ne+nf, SUB,
+    LANES): tiled sort results with a sentinel tile at index 0.
+    Returns (B, T*TILE) u32 best len<<16|dist per sorted row (a pair of
+    them when top2)."""
+    assert K <= LANES
     B, T1, _, _ = skey_t.shape
     T = T1 - 1
     nc = ne + nf
     kern = functools.partial(_matcher_kernel, K, ne, nf, top2)
-    ospec = pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+    ospec = pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((B, T, 1, TILE), jnp.uint32)
+    oshape = jax.ShapeDtypeStruct((B, T, SUB, LANES), jnp.uint32)
+    wspec = pl.BlockSpec((1, 1, nc, SUB, LANES),
+                         lambda b, t: (b, t + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec_p = pl.BlockSpec((1, 1, nc, SUB, LANES),
+                           lambda b, t: (b, t, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t + 1, 0, 0),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TILE), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, 1, TILE), lambda b, t: (b, 0, t + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, 1, TILE), lambda b, t: (b, 0, t, 0),
-                         memory_space=pltpu.VMEM),
+            wspec,
+            wspec_p,
             pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -296,20 +320,21 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
 
     # carried-operand sort: the carry words ride along with the keys so
     # no post-sort gather is needed (take_along_axis scalarizes on TPU)
-    words_flat = [words_t[:, :, t, :].reshape(B, Wp) for t in range(nc)]
+    words_flat = [words_t[:, :, t].reshape(B, Wp) for t in range(nc)]
     sorted_ops = jax.lax.sort([key] + words_flat, dimension=1, num_keys=1)
     skey = sorted_ops[0]
     spos = (skey & POS_MASK).astype(jnp.int32)
 
     # tile with a leading sentinel block (the "previous" of tile 0)
-    sent_k = jnp.full((B, 1, 1, TILE), SENTINEL, jnp.uint32)
+    sent_k = jnp.full((B, 1, SUB, LANES), SENTINEL, jnp.uint32)
     skey_t = jnp.concatenate(
-        [sent_k, skey.reshape(B, T, 1, TILE)], axis=1)
-    # word-major (B, nc, T+1, TILE): re-tiling each sorted operand is a
-    # pure reshape — no transpose through HBM
-    sw = jnp.stack(sorted_ops[1:], axis=1).reshape(B, nc, T, TILE)
-    sent_w = jnp.zeros((B, nc, 1, TILE), jnp.uint32)
-    swords_t = jnp.concatenate([sent_w, sw], axis=2)
+        [sent_k, skey.reshape(B, T, SUB, LANES)], axis=1)
+    # tile-major (B, T+1, nc, SUB, LANES): each sorted operand re-tiles
+    # as a pure (B, T, SUB, LANES) reshape + one contiguous stack
+    sw = jnp.stack([o.reshape(B, T, SUB, LANES) for o in sorted_ops[1:]],
+                   axis=2)
+    sent_w = jnp.zeros((B, 1, nc, SUB, LANES), jnp.uint32)
+    swords_t = jnp.concatenate([sent_w, sw], axis=1)
 
     meta = jnp.stack([
         min_src_a, limit_a,

@@ -96,36 +96,57 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
 
     lane_iota = jnp.arange(WIN, dtype=jnp.int32)[None, :]
 
-    def body(j, carry):
-        cost_win, sel = carry
-        i = blk - 1 - j
-        # cost_win[:, r] = cost[i + 1 + r]
-        best = lit_l[:, i] + cost_win[:, 0]
+    # The window of future costs is a RING (head h = slot of cost[i+1]):
+    # the naive sliding concat copies the full (L, WIN) window every
+    # step (~4 GB of HBM traffic per 4 MiB batch); the ring writes one
+    # column.  U steps run inline per loop iteration to amortize the
+    # XLA while-loop overhead (the DP is latency-, not work-bound).
+    U = 8
+    assert blk % U == 0
+
+    def step(i, h, cost_ring, sel):
+        # slot of cost[i + 1 + r] = (h + r) % WIN
+        best = lit_l[:, i] + jax.lax.dynamic_slice(
+            cost_ring, (0, h), (L, 1))[:, 0]
         bl = jnp.ones((L,), jnp.int32)
         l = fl[:, i]
+        slot = jax.lax.rem(h + l - 1, WIN)
         c = fc[:, i] + jnp.sum(
-            jnp.where(lane_iota == (l - 1)[:, None], cost_win, 0),
+            jnp.where(lane_iota == slot[:, None], cost_ring, 0),
             axis=1)
         c = jnp.where(l > 0, c, BIG)
         upd = c < best
         best = jnp.where(upd, c, best)
         bl = jnp.where(upd, l, bl)
         for o, g in enumerate(GRID[:-1]):
-            c = sc[o, :, i] + cost_win[:, g - 1]
+            c = sc[o, :, i] + jax.lax.dynamic_slice(
+                cost_ring, (0, jax.lax.rem(h + g - 1, WIN)), (L, 1))[:, 0]
             upd = c < best
             best = jnp.where(upd, c, best)
             bl = jnp.where(upd, g, bl)
         sel = jax.lax.dynamic_update_slice(sel, bl[:, None], (0, i))
-        cost_win = jnp.concatenate(
-            [best[:, None], cost_win[:, :WIN - 1]], axis=1)
-        return cost_win, sel
+        h = jax.lax.rem(h + WIN - 1, WIN)
+        cost_ring = jax.lax.dynamic_update_slice(
+            cost_ring, best[:, None], (0, h))
+        return h, cost_ring, sel
+
+    def body(j, carry):
+        h, cost_ring, sel = carry
+        for u in range(U):
+            i = blk - 1 - (j * U + u)
+            h, cost_ring, sel = step(i, h, cost_ring, sel)
+        return h, cost_ring, sel
 
     cost0 = jnp.zeros((L, WIN), jnp.int32)   # cost beyond block end = 0
     sel0 = jnp.ones((L, blk), jnp.int32)
-    _, sel = jax.lax.fori_loop(0, blk, body, (cost0, sel0))
+    _, _, sel = jax.lax.fori_loop(
+        0, blk // U, body, (jnp.int32(0), cost0, sel0))
 
-    # walk each block by sel_len to produce the start mask
+    # walk each block by sel_len to produce the start mask (UW steps per
+    # while iteration: the walk is bounded by the literal-heaviest lane,
+    # so iteration-count overhead dominates)
     iota = jnp.arange(blk, dtype=jnp.int32)[None, :]
+    UW = 4
 
     def wcond(state):
         cur, visited = state
@@ -133,10 +154,11 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
 
     def wbody(state):
         cur, visited = state
-        oh = iota == cur[:, None]
-        s = jnp.sum(jnp.where(oh, sel, 0), axis=1)
-        visited = visited | oh
-        cur = jnp.where(cur < blk, cur + jnp.maximum(s, 1), cur)
+        for _ in range(UW):
+            oh = iota == cur[:, None]
+            s = jnp.sum(jnp.where(oh, sel, 0), axis=1)
+            visited = visited | oh
+            cur = jnp.where(cur < blk, cur + jnp.maximum(s, 1), cur)
         return cur, visited
 
     cur0 = jnp.zeros((L,), jnp.int32)
