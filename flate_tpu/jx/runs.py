@@ -91,9 +91,9 @@ def _small_runs_kernel(prv_ref, cur_ref, nxt_ref, meta_ref,
     up = jnp.concatenate(
         [prv_ref[0, 0, SUB - 1:, :].astype(jnp.int32), ext[:-1, :]],
         axis=0)
-    min_src = meta_ref[0, 0, 0]
-    limit = meta_ref[0, 0, 1]
-    tbase = meta_ref[0, 0, 2]
+    min_src = meta_ref[0, 0, 0, 0]
+    limit = meta_ref[0, 0, 0, 1]
+    tbase = meta_ref[0, 0, 0, 2]
     sub = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
     pos = tbase + sub * LANES + lane
     maxlen = jnp.clip(limit - pos, 0, consts.MAX_MATCH_LEN)
@@ -138,7 +138,7 @@ def small_dist_runs(window: jnp.ndarray, limit: jnp.ndarray,
         jnp.broadcast_to(limit[:, None], (B, T)),
         jnp.broadcast_to(tb[None, :], (B, T)),
         jnp.zeros((B, T), jnp.int32),
-    ], axis=2)                                         # (B, T, 4)
+    ], axis=2)[:, :, None, :]                          # (B, T, 1, 4)
 
     spec = lambda off: pl.BlockSpec(                   # noqa: E731
         (1, 1, SUB, LANES), lambda b, t, o=off: (b, t + o, 0, 0),
@@ -148,7 +148,7 @@ def small_dist_runs(window: jnp.ndarray, limit: jnp.ndarray,
         grid=(B, T),
         in_specs=[
             spec(0), spec(1), spec(2),
-            pl.BlockSpec((1, 1, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(spec(0), spec(0)),
@@ -173,8 +173,8 @@ def _extend_kernel(cap: int, len_ref, lnx_ref, dist_ref, dnx_ref,
                    meta_ref, out_ref):
     l = jnp.concatenate([len_ref[0, 0], lnx_ref[0, 0, :1, :]], axis=0)
     d = jnp.concatenate([dist_ref[0, 0], dnx_ref[0, 0, :1, :]], axis=0)
-    limit = meta_ref[0, 0, 0]
-    tbase = meta_ref[0, 0, 1]
+    limit = meta_ref[0, 0, 0, 0]
+    tbase = meta_ref[0, 0, 0, 1]
     lane = lane_iota(l.shape)
     sub = jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
     pos = tbase + sub * LANES + lane
@@ -206,8 +206,8 @@ def _extend2_kernel(cap: int, l1_ref, l1n_ref, d1_ref, d1n_ref,
 
     l1, d1 = ext(l1_ref, l1n_ref), ext(d1_ref, d1n_ref)
     l2, d2 = ext(l2_ref, l2n_ref), ext(d2_ref, d2n_ref)
-    limit = meta_ref[0, 0, 0]
-    tbase = meta_ref[0, 0, 1]
+    limit = meta_ref[0, 0, 0, 0]
+    tbase = meta_ref[0, 0, 0, 1]
     lane = lane_iota(l1.shape)
     sub = jax.lax.broadcasted_iota(jnp.int32, l1.shape, 0)
     pos = tbase + sub * LANES + lane
@@ -252,7 +252,7 @@ def _ext_meta(limit, B, T):
         jnp.broadcast_to(tb[None, :], (B, T)),
         jnp.zeros((B, T), jnp.int32),
         jnp.zeros((B, T), jnp.int32),
-    ], axis=2)                                         # (B, T, 4)
+    ], axis=2)[:, :, None, :]                          # (B, T, 1, 4)
 
 
 def _cur_spec():
@@ -278,7 +278,7 @@ def extend_chains2(l1, d1, l2, d2, limit: jnp.ndarray, cap: int,
         t = _ext_inputs(x, B, T)
         ins += [t, t]
     specs = [_cur_spec(), _nxt_spec()] * 4 + [
-        pl.BlockSpec((1, 1, 4), lambda b, t: (b, t, 0),
+        pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.SMEM)]
     out = pl.pallas_call(
         functools.partial(_extend2_kernel, cap),
@@ -309,7 +309,7 @@ def extend_chains(mlen: jnp.ndarray, mdist: jnp.ndarray,
         grid=(B, T),
         in_specs=[
             _cur_spec(), _nxt_spec(), _cur_spec(), _nxt_spec(),
-            pl.BlockSpec((1, 1, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 1, 1, 4), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=_cur_spec(),
