@@ -98,6 +98,22 @@ def _crc32_rows_padded(rows: jnp.ndarray) -> jnp.ndarray:
     return crc[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _crc32_rows_any(rows: jnp.ndarray) -> jnp.ndarray:
+    """_crc32_rows_padded with in-jit zero-pad to a 4*LANES multiple.
+    Callers must fix up with crc32_fixup against the PADDED width
+    (shape[1] rounded up)."""
+    pad = (-rows.shape[1]) % (4 * LANES)
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return _crc32_rows_padded(rows)
+
+
+def padded_width(S: int) -> int:
+    """Row width _crc32_rows_any actually hashes (for crc32_fixup)."""
+    return S + ((-S) % (4 * LANES))
+
+
 @functools.lru_cache(maxsize=None)
 def _cols_zero_bytes_final(k: int) -> np.ndarray:
     """Operator matching crc32_combine: finalized-crc shift by k zero
@@ -109,6 +125,23 @@ def _cols_zero_bytes_final(k: int) -> np.ndarray:
         dtype=np.uint32)
 
 
+def crc32_fixup(full: np.ndarray, lens: np.ndarray, S: int) -> np.ndarray:
+    """Host fixup: per-row crc of the FULL zero-padded row -> crc of the
+    first lens[b] bytes (inverts the pad-zeros shift; O(1) matrix op per
+    ragged row, full rows pass through)."""
+    full = np.asarray(full, dtype=np.uint32)
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.zeros(full.shape[0], dtype=np.uint32)
+    for b in range(full.shape[0]):
+        p = int(S - lens[b])
+        if p == 0:
+            out[b] = full[b]
+        else:
+            # invert the p-zero-byte shift: full = M c ^ z  =>  c = M^-1(full^z)
+            out[b] = _unshift_final(int(full[b]), p)
+    return out
+
+
 def crc32_shards(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """(B, S) u8 + per-row valid lengths -> (B,) u32 standard crc32 of
     each row's first lens[b] bytes.  Rows must be zero-padded; S must be
@@ -117,16 +150,7 @@ def crc32_shards(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
     rows = np.ascontiguousarray(rows, dtype=np.uint8)
     B, S = rows.shape
     full = np.asarray(_crc32_rows_padded(jnp.asarray(rows)))
-    lens = np.asarray(lens, dtype=np.int64)
-    out = np.zeros(B, dtype=np.uint32)
-    for b in range(B):
-        p = int(S - lens[b])
-        if p == 0:
-            out[b] = full[b]
-        else:
-            # invert the p-zero-byte shift: full = M c ^ z  =>  c = M^-1(full^z)
-            out[b] = _unshift_final(int(full[b]), p)
-    return out
+    return crc32_fixup(full, lens, S)
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,20 +238,30 @@ def _adler_rows(rows: jnp.ndarray, lens: jnp.ndarray):
     return s1, s2
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _adler_rows_any(rows: jnp.ndarray, lens: jnp.ndarray):
+    """_adler_rows with in-jit zero-pad to a CHUNK multiple."""
+    pad = (-rows.shape[1]) % CHUNK
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return _adler_rows(rows, lens.astype(jnp.int32))
+
+
+def adler_finalize(s1: np.ndarray, s2: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Fold the standard init (s1 starts at 1) into raw device sums."""
+    lens = np.asarray(lens, dtype=np.int64)
+    s1 = (np.asarray(s1).astype(np.int64) + 1) % ADLER_MOD
+    s2 = (np.asarray(s2).astype(np.int64) + lens % ADLER_MOD) % ADLER_MOD
+    return ((s2 << 16) | s1).astype(np.uint32)
+
+
 def adler32_shards(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """(B, S) u8 zero-padded -> (B,) u32 standard adler32 per row."""
     rows = np.ascontiguousarray(rows, dtype=np.uint8)
-    B, S = rows.shape
-    pad = (-S) % CHUNK
-    if pad:
-        rows = np.concatenate(
-            [rows, np.zeros((B, pad), np.uint8)], axis=1)
-    s1, s2 = _adler_rows(jnp.asarray(rows),
-                         jnp.asarray(lens, np.int32))
-    s1 = (np.asarray(s1).astype(np.int64) + 1) % ADLER_MOD
-    s2 = (np.asarray(s2).astype(np.int64)
-          + np.asarray(lens, np.int64) % ADLER_MOD) % ADLER_MOD
-    return ((s2 << 16) | s1).astype(np.uint32)
+    s1, s2 = _adler_rows_any(jnp.asarray(rows),
+                             jnp.asarray(lens, np.int32))
+    return adler_finalize(s1, s2, lens)
 
 
 def adler32_device(data: bytes | np.ndarray) -> int:

@@ -399,15 +399,24 @@ def _lane_walk_kernel(G: int, J: int, word_ref, meta_ref,
     NL = word_ref.shape[1]
     word = word_ref[0]                                  # (NL, G)
     nxt_row = pltpu.roll(word, NL - 1, 0)               # row l -> row l+1
-    hal = jnp.concatenate([word, nxt_row[:, :64]], axis=1)  # (NL, G+64)
-
+    # the 64-word halo (next lane's head) is read via a SECOND masked
+    # lookup instead of a concat: Mosaic cannot concatenate the rolled
+    # operand (offset layout mismatch on the non-concat dim — the chip
+    # crash BENCH_r03 recorded; round-4 fix)
     s0 = meta_ref[0, 0, 0]
     n = meta_ref[0, 0, 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (NL, 1), 0)
     lbase = lane * G
-    col = jax.lax.broadcasted_iota(jnp.int32, (NL, G + 64), 1)
-    colG = col[:, :G]
+    colG = jax.lax.broadcasted_iota(jnp.int32, (NL, G), 1)
     l0 = s0 // G
+
+    def read_at(c):
+        """word at in-lane offset c (scalar per lane, may be >= G: the
+        next lane's first 64 words serve as lookahead halo)."""
+        m = jnp.sum(jnp.where(colG == c, word, 0), axis=1, keepdims=True)
+        h = jnp.sum(jnp.where(colG == c - G, nxt_row, 0), axis=1,
+                    keepdims=True)
+        return m + h
 
     # ---- phase 1: speculative walk from every lane base --------------
     # (the start lane walks from the exact start; earlier lanes and
@@ -420,10 +429,9 @@ def _lane_walk_kernel(G: int, J: int, word_ref, meta_ref,
         return jnp.any(c < G)
 
     def p1_body(c):
-        oh = col == c                                   # (NL, G+64)
         vis_ref[0] = vis_ref[0] | jnp.where(
-            oh[:, :G] & (c < G), 1, 0)
-        w = jnp.sum(jnp.where(oh, hal, 0), axis=1, keepdims=True)
+            (colG == c) & (c < G), 1, 0)
+        w = read_at(c)
         adv = jnp.maximum(w & 63, 1)
         return jnp.where(c < G, c + adv, c)
 
@@ -437,29 +445,32 @@ def _lane_walk_kernel(G: int, J: int, word_ref, meta_ref,
     vis = vis_ref[0]
 
     def p2_body(_, st):
+        # `joined` is carried as i32 (0/1): Mosaic fails to legalize
+        # vector<i1> loop carries (scf.for legalization — the second
+        # form of the round-3 chip crash)
         c2, joined, jpos, jmask = st
-        oh = col == c2
-        on_vis = jnp.sum(jnp.where(oh[:, :G], vis, 0), axis=1,
+        on_vis = jnp.sum(jnp.where(colG == c2, vis, 0), axis=1,
                          keepdims=True) > 0
-        hit = on_vis & ~joined & (c2 < G)
+        hit = on_vis & (joined == 0) & (c2 < G)
         jpos = jnp.where(hit, c2, jpos)
-        joined = joined | hit
-        live = ~joined & (c2 < G)
-        jmask = jmask | jnp.where(oh[:, :G] & live, 1, 0)
-        w = jnp.sum(jnp.where(oh, hal, 0), axis=1, keepdims=True)
+        joined = jnp.where(hit, 1, joined)
+        live = (joined == 0) & (c2 < G)
+        jmask = jmask | jnp.where((colG == c2) & live, 1, 0)
+        w = read_at(c2)
         adv = jnp.maximum(w & 63, 1)
         c2 = jnp.where(live, c2 + adv, c2)
         return c2, joined, jpos, jmask
 
     vac = (lane < l0) | (lbase >= n)                    # vacuous lanes
-    st0 = (ent, vac, jnp.full((NL, 1), G, jnp.int32),
+    st0 = (ent, vac.astype(jnp.int32), jnp.full((NL, 1), G, jnp.int32),
            jnp.zeros((NL, G), jnp.int32))
-    _, joined, jpos, jmask = jax.lax.fori_loop(0, J, p2_body, st0)
+    _, joined_i, jpos, jmask = jax.lax.fori_loop(0, J, p2_body, st0)
+    joined = joined_i > 0
 
     mask_ref[0] = jmask | jnp.where(
         (colG >= jpos) & joined & ~vac, vis, 0)
     jcol = jax.lax.broadcasted_iota(jnp.int32, (NL, 128), 1)
-    joined_ref[0] = jnp.where(jcol == 0, joined.astype(jnp.int32), 0)
+    joined_ref[0] = jnp.where(jcol == 0, joined_i, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("G", "J", "interpret"))

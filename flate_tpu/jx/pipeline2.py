@@ -19,15 +19,17 @@ round-1 twin: jx/pipeline.compress_device.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import consts
+from ..checksums import adler32_combine, crc32_combine
 from ..containers import (Container, GzipMetadata, Hasher, write_footer,
                           write_header)
-from . import encode2, match2
+from . import checksum, encode2, match2
 from . import parse as prs
 from . import pack as pk
 from . import squeeze as sq
@@ -248,7 +250,16 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     out = bytearray()
     comp_lens: list = []
     hasher = Hasher(container)
-    hasher.update(data)
+    # CRC32/Adler32 run on device per shard, sharing the encode upload,
+    # and combine on host (GF(2) combine — checksums.py); the full-input
+    # host hash was a serial term the north star forbids (and on true
+    # multi-host no host holds the full input).  Opt out with
+    # FLATE_TPU_HOST_HASH=1.  Reference rolls the hash inline with I/O:
+    # container.zig:168-206.
+    dev_hash = (container in (Container.GZIP, Container.ZLIB)
+                and os.environ.get("FLATE_TPU_HOST_HASH") != "1")
+    if not dev_hash:
+        hasher.update(data)
 
     def dispatch(base_shard: int):
         nb = min(batch, nshards - base_shard)
@@ -273,14 +284,22 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
         finals = np.zeros(batch, dtype=np.int32)
         if base_shard + nb == nshards:
             finals[nb - 1] = 1
+        shards_dev = jnp.asarray(shards_np)
         enc_fn = encode_batch if fused else encode_batch_staged
         words, tbits, kind = enc_fn(
-            jnp.asarray(shards_np), jnp.asarray(ctx0),
+            shards_dev, jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
             max_lazy=max_lazy, K3=K3, squeeze=squeeze, blk=blk,
             interpret=interpret)
-        return nb, words, tbits
+        hash_dev = None
+        if dev_hash:
+            if container is Container.GZIP:
+                hash_dev = checksum._crc32_rows_any(shards_dev)
+            else:
+                hash_dev = checksum._adler_rows_any(
+                    shards_dev, jnp.asarray(valid))
+        return nb, words, tbits, hash_dev, valid
 
     fetch = _Fetcher()
     bases = list(range(0, nshards, batch))
@@ -289,7 +308,7 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     DEPTH = 2
     queue = [dispatch(b) for b in bases[:DEPTH]]
     for j in range(len(bases)):
-        nb, words, tbits = queue.pop(0)
+        nb, words, tbits, hash_dev, valid = queue.pop(0)
         if j + DEPTH < len(bases):
             queue.append(dispatch(bases[j + DEPTH]))
         words_np, tbits_np = fetch(words, tbits)
@@ -299,6 +318,27 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
             assert tb % 8 == 0, "shard streams must be byte-aligned"
             comp_lens.append(tb // 8)
             out += flat[i].tobytes()[:tb // 8]
+        if dev_hash:
+            if container is Container.GZIP:
+                crcs = checksum.crc32_fixup(
+                    np.asarray(hash_dev)[:nb], valid[:nb],
+                    checksum.padded_width(S))
+                for i in range(nb):
+                    ln = int(valid[i])
+                    if ln:
+                        hasher.value = crc32_combine(
+                            hasher.value, int(crcs[i]), ln)
+                    hasher.nbytes += ln
+            else:
+                s1, s2 = hash_dev
+                adl = checksum.adler_finalize(
+                    np.asarray(s1)[:nb], np.asarray(s2)[:nb], valid[:nb])
+                for i in range(nb):
+                    ln = int(valid[i])
+                    if ln:
+                        hasher.value = adler32_combine(
+                            hasher.value, int(adl[i]), ln)
+                    hasher.nbytes += ln
 
     if index and container is Container.GZIP and nshards <= 8000:
         from .. import shard_index
