@@ -263,7 +263,8 @@ def _decode_stored(bits: _BitCursor, out: bytearray) -> None:
 
 
 def inflate_raw(data: bytes, bit_pos: int = 0,
-                dictionary: bytes | None = None) -> tuple[bytes, int]:
+                dictionary: bytes | None = None,
+                size_hint: int | None = None) -> tuple[bytes, int]:
     """Decode a raw deflate stream starting at bit_pos.
 
     Dispatches to the native decoder (flate_tpu.native.fastinflate — same
@@ -273,11 +274,13 @@ def inflate_raw(data: bytes, bit_pos: int = 0,
 
     dictionary: optional preset history (v1 parity: back-references may
     reach into it; it is not part of the output).
+    size_hint: expected output size (e.g. gzip ISIZE) — sizes the output
+    buffer exactly; a low hint is corrected by the grow-retry loop.
     Returns (decompressed bytes, bit position after the final block)."""
     import os
     if os.environ.get("FLATE_TPU_PURE_PYTHON", "") in ("", "0"):
         from . import native
-        res = native.inflate_raw(data, bit_pos, dictionary)
+        res = native.inflate_raw(data, bit_pos, dictionary, size_hint)
         if res is not None:
             return res
     return inflate_raw_py(data, bit_pos, dictionary)
@@ -334,7 +337,13 @@ def decompress_member(data: bytes, offset: int, container: Container,
     hdr, _meta = parse_header(container, data[offset:],
                               allow_dict=dictionary is not None)
     payload_start = offset + hdr
-    out, bit_end = inflate_raw(data, payload_start * 8, dictionary)
+    # gzip trailers end with ISIZE; when this member runs to the end of
+    # `data` that's an exact output-size hint (multi-member or mod-2^32
+    # wrong hints are corrected by the decoder's grow-retry)
+    hint = None
+    if container is Container.GZIP and len(data) >= offset + 18:
+        hint = int.from_bytes(data[-4:], "little")
+    out, bit_end = inflate_raw(data, payload_start * 8, dictionary, hint)
     end_byte = (bit_end + 7) // 8
     hasher = Hasher(container)
     if verify:

@@ -138,6 +138,53 @@ def inflate_available() -> bool:
     return _load("fastinflate") is not None
 
 
+_EXT = None
+_EXT_TRIED = False
+
+
+def _ext():
+    """Build/load the CPython extension wrapper (zero-copy PyBytes
+    output); None when no toolchain/headers — the ctypes path remains."""
+    global _EXT, _EXT_TRIED
+    if _EXT_TRIED:
+        return _EXT
+    _EXT_TRIED = True
+    src = _DIR / "fastinflate_mod.c"
+    so = _DIR / "fastinflate_mod.so"
+    dep = _DIR / "fastinflate.c"
+    try:
+        if (not so.exists()
+                or so.stat().st_mtime < src.stat().st_mtime
+                or so.stat().st_mtime < dep.stat().st_mtime):
+            import sysconfig
+            inc = sysconfig.get_paths()["include"]
+            ok = False
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    subprocess.run(
+                        [cc, "-O3", "-march=native", "-fPIC", "-shared",
+                         f"-I{inc}", str(src), "-o", str(so)],
+                        check=True, capture_output=True, timeout=120)
+                    ok = True
+                    break
+                except (OSError, subprocess.SubprocessError):
+                    continue
+            if not ok:
+                return None
+        import importlib.machinery
+        import importlib.util
+        # name must match the PyInit_<name> symbol in the .so
+        loader = importlib.machinery.ExtensionFileLoader(
+            "fastinflate_mod", str(so))
+        spec = importlib.util.spec_from_loader("fastinflate_mod", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        _EXT = mod
+    except Exception:
+        _EXT = None
+    return _EXT
+
+
 def optimal_parse(mlen: np.ndarray, mdist: np.ndarray, data: np.ndarray,
                   lit_bits: np.ndarray, lenc_bits: np.ndarray,
                   dist_bits: np.ndarray
@@ -172,11 +219,27 @@ def optimal_parse(mlen: np.ndarray, mdist: np.ndarray, data: np.ndarray,
 
 
 def inflate_raw(data: bytes, bit_pos: int = 0,
-                dictionary: bytes | None = None
+                dictionary: bytes | None = None,
+                size_hint: int | None = None
                 ) -> tuple[bytes, int] | None:
     """Native raw-deflate decode; returns (output, end_bit) or None if the
     library is unavailable.  Raises the exact flate_tpu.errors class on
-    malformed input (same taxonomy as the Python spec decoder)."""
+    malformed input (same taxonomy as the Python spec decoder).
+
+    size_hint (e.g. gzip ISIZE) sizes the output buffer exactly — the
+    decoder grows and retries if it proves too small, so a wrong hint
+    costs time, never correctness."""
+    ext = _ext()
+    if ext is not None:
+        try:
+            return ext.inflate_raw(
+                data, bit_pos, dictionary,
+                -1 if size_hint is None else max(0, int(size_hint)))
+        except ValueError as e:
+            msg = str(e)
+            if msg.startswith("fastinflate:"):
+                raise _inflate_error(int(msg.split(":")[1]))() from None
+            raise
     lib = _load("fastinflate")
     if lib is None:
         return None
@@ -184,7 +247,11 @@ def inflate_raw(data: bytes, bit_pos: int = 0,
     if src.size == 0:
         src = np.zeros(1, dtype=np.uint8)  # valid pointer; len passed as 0
     dict_len = len(dictionary) if dictionary else 0
-    cap = max(1 << 16, dict_len + 4 * len(data) + (1 << 16))
+    if size_hint is not None:
+        # +290: the fast loop's copy-overrun headroom (see fastinflate.c)
+        cap = max(1 << 12, dict_len + size_hint + 290)
+    else:
+        cap = max(1 << 16, dict_len + 4 * len(data) + (1 << 16))
     while True:
         out = np.empty(cap, dtype=np.uint8)
         if dict_len:
@@ -199,7 +266,7 @@ def inflate_raw(data: bytes, bit_pos: int = 0,
         if rc == 0:
             return out[dict_len:out_len.value].tobytes(), int(end_bit.value)
         if rc == -1:
-            cap *= 2
+            cap = max(cap * 2, dict_len + 4 * len(data) + (1 << 16))
             continue
         raise _inflate_error(rc)()
 

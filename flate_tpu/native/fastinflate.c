@@ -118,6 +118,10 @@ static void br_align(BitReader *br) {
  * touches the RFC base/extra arrays or branches on symbol ranges:
  *
  *   litlen literal:  LIT_FLAG | byte<<16            | codelen
+ *   litlen lit-pair: LIT_FLAG | LIT2_FLAG | b1<<16 | len1<<24 | b2<<8
+ *                    | (len1+len2)   (two short literals, ONE lookup —
+ *                    a post-pass packs primary slots whose upper bits
+ *                    spell a second full literal code, libdeflate-style)
  *   litlen EOB:      EOB_FLAG                       | codelen
  *   litlen length:   LBASE<<16 | LEXTRA<<4          | codelen
  *   dist:            DBASE<<16 | DEXTRA<<4          | codelen
@@ -130,7 +134,8 @@ static void br_align(BitReader *br) {
 #define PTR_FLAG 0x80000000u
 #define LIT_FLAG 0x40000000u
 #define EOB_FLAG 0x20000000u
-#define PRIMARY_BITS 10
+#define LIT2_FLAG 0x10000000u
+#define PRIMARY_BITS 11
 #define PRIMARY_SIZE (1u << PRIMARY_BITS)
 
 /* RFC 1951 base/extra tables (build-time only; decode reads entries) */
@@ -221,6 +226,27 @@ static int build_table(const uint8_t *lens, int n, int max_bits,
     return 0;
 }
 
+/* Post-pass: pack two short literals into one primary entry.  Slot i
+ * holds literal s1 (len l1 <= PRIMARY_BITS); its upper PRIMARY_BITS-l1
+ * bits fully determine a second code iff that code's length fits the
+ * remaining bits — then one lookup decodes both.  Reads from a snapshot
+ * so already-packed entries are never re-read as singles. */
+static void pack_pairs(uint32_t *t1) {
+    uint32_t snap[PRIMARY_SIZE];
+    memcpy(snap, t1, sizeof(snap));
+    for (uint32_t i = 0; i < PRIMARY_SIZE; i++) {
+        uint32_t e = snap[i];
+        if (!(e & LIT_FLAG)) continue;
+        uint32_t l1 = e & 15;
+        uint32_t e2 = snap[i >> l1];
+        if (!(e2 & LIT_FLAG)) continue;
+        uint32_t l2 = e2 & 15;
+        if (l1 + l2 > PRIMARY_BITS) continue;
+        t1[i] = LIT_FLAG | LIT2_FLAG | (l1 << 24) | (e & 0x00FF0000u)
+            | (((e2 >> 16) & 0xFFu) << 8) | (l1 + l2);
+    }
+}
+
 /* two-level table (15-bit litlen/dist decoders) */
 static int build_table2(const uint8_t *lens, int n, int is_litlen,
                         uint32_t *t1, uint32_t *sub) {
@@ -245,6 +271,7 @@ static int build_table2(const uint8_t *lens, int n, int is_litlen,
             for (uint32_t i = r; i < PRIMARY_SIZE; i += step)
                 t1[i] = e;
         }
+        if (is_litlen) pack_pairs(t1);
         return 0;
     }
     /* per-prefix max length for sub-table widths */
@@ -431,24 +458,41 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
             }
             uint32_t e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
             if (e & LIT_FLAG) {
-                /* up to 3 literals per refill (45 bits consumed) */
+                /* up to 4 literal entries per refill (4 x 11 bits = 44
+                 * <= the 56-bit fill) — each may be a packed PAIR, so
+                 * up to 8 bytes per refill */
                 br->buf >>= (e & 15);
                 br->nbits -= (int)(e & 15);
-                out[w++] = (uint8_t)(e >> 16);
+                out[w] = (uint8_t)(e >> 16);
+                out[w + 1] = (uint8_t)(e >> 8);
+                w += 1 + ((e >> 28) & 1);
                 e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
                 if (e & LIT_FLAG) {
                     br->buf >>= (e & 15);
                     br->nbits -= (int)(e & 15);
-                    out[w++] = (uint8_t)(e >> 16);
+                    out[w] = (uint8_t)(e >> 16);
+                    out[w + 1] = (uint8_t)(e >> 8);
+                    w += 1 + ((e >> 28) & 1);
                     e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
                     if (e & LIT_FLAG) {
                         br->buf >>= (e & 15);
                         br->nbits -= (int)(e & 15);
-                        out[w++] = (uint8_t)(e >> 16);
-                        continue;
+                        out[w] = (uint8_t)(e >> 16);
+                        out[w + 1] = (uint8_t)(e >> 8);
+                        w += 1 + ((e >> 28) & 1);
+                        e = tbl2_find(t->ll1, t->ll_sub,
+                                      (uint32_t)br->buf);
+                        if (e & LIT_FLAG) {
+                            br->buf >>= (e & 15);
+                            br->nbits -= (int)(e & 15);
+                            out[w] = (uint8_t)(e >> 16);
+                            out[w + 1] = (uint8_t)(e >> 8);
+                            w += 1 + ((e >> 28) & 1);
+                            continue;
+                        }
                     }
                 }
-                /* non-literal after 1-2 literals: >= 11 bits may
+                /* non-literal after 1-3 entries: >= 11 bits may
                  * remain, not enough for symbol+extras — loop back
                  * through the refill without consuming e */
                 if (br->nbits < 48)
@@ -476,6 +520,16 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
                     + (uint32_t)((br->buf >> dcb) & ((1u << deb) - 1));
                 br->buf >>= dcb + deb;
                 br->nbits -= (int)(dcb + deb);
+                /* refill for the NEXT symbol before the copy: the
+                 * 8-byte load and shift-merge issue while the copy's
+                 * stores drain (out never aliases br/tables) */
+                if (br->nbits < 56 && br->pos + 8 <= br->in_len) {
+                    uint64_t v2;
+                    memcpy(&v2, br->in + br->pos, 8);
+                    br->buf |= v2 << br->nbits;
+                    br->pos += (size_t)((63 - br->nbits) >> 3);
+                    br->nbits |= 56;
+                }
                 if (dist > w) { *out_len = w; return ERR_MATCH; }
                 const uint8_t *src = out + w - dist;
                 uint8_t *dst = out + w;
@@ -518,8 +572,10 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
         int rc = br_consume(br, e & 15);
         if (rc) return rc;
         if (e & LIT_FLAG) {
-            if (w >= out_cap) { *out_len = w; return ERR_OUT; }
+            uint32_t cnt = 1 + ((e >> 28) & 1);
+            if (w + cnt > out_cap) { *out_len = w; return ERR_OUT; }
             out[w++] = (uint8_t)(e >> 16);
+            if (cnt == 2) out[w++] = (uint8_t)(e >> 8);
         } else if (e & EOB_FLAG) {
             *out_len = w;
             return 0;
@@ -789,19 +845,25 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
                 if (e & LIT_FLAG) {
                     br.buf >>= (e & 15);
                     br.nbits -= (int)(e & 15);
-                    out[w++] = (uint8_t)(e >> 16);
+                    out[w] = (uint8_t)(e >> 16);
+                    out[w + 1] = (uint8_t)(e >> 8);
+                    w += 1 + ((e >> 28) & 1);
                     e = tbl2_find(st->t.ll1, st->t.ll_sub,
                                   (uint32_t)br.buf);
                     if (e & LIT_FLAG) {
                         br.buf >>= (e & 15);
                         br.nbits -= (int)(e & 15);
-                        out[w++] = (uint8_t)(e >> 16);
+                        out[w] = (uint8_t)(e >> 16);
+                        out[w + 1] = (uint8_t)(e >> 8);
+                        w += 1 + ((e >> 28) & 1);
                         e = tbl2_find(st->t.ll1, st->t.ll_sub,
                                       (uint32_t)br.buf);
                         if (e & LIT_FLAG) {
                             br.buf >>= (e & 15);
                             br.nbits -= (int)(e & 15);
-                            out[w++] = (uint8_t)(e >> 16);
+                            out[w] = (uint8_t)(e >> 16);
+                            out[w + 1] = (uint8_t)(e >> 8);
+                            w += 1 + ((e >> 28) & 1);
                             br_fill(&br);
                             continue;
                         }
@@ -846,9 +908,18 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
             uint32_t peek = br_peek(&br, 15);
             uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub, peek);
             if (!e) { rc = ERR_CODE; goto done; }
+            if ((e & LIT2_FLAG) && w + 2 > out_cap) {
+                /* budget has room for one byte only: consume just the
+                 * pair's first code (len in bits 24-27) */
+                if ((rc = br_consume(&br, (int)((e >> 24) & 15))))
+                    goto done;
+                out[w++] = (uint8_t)(e >> 16);
+                continue;
+            }
             if ((rc = br_consume(&br, e & 15))) goto done;
             if (e & LIT_FLAG) {
                 out[w++] = (uint8_t)(e >> 16);
+                if (e & LIT2_FLAG) out[w++] = (uint8_t)(e >> 8);
             } else if (e & EOB_FLAG) {
                 st->stage = st->bfinal ? 3 : 0;
                 if (st->stage == 3) st->end_bit = br_bitpos(&br);
