@@ -185,6 +185,119 @@ def encode_batch_staged(shards, ctx0, ctx_lens, valid_lens, finals, *,
     return words, tbits, kind
 
 
+def _words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
+    """(B, nwr, 128) u32 LSB-first words -> (B, nwr*512) u8 stream."""
+    B = words.shape[0]
+    w = words.reshape(B, -1)
+    planes = [((w >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+              for k in range(4)]
+    return jnp.stack(planes, axis=-1).reshape(B, -1)
+
+
+HASH_NONE, HASH_CRC32, HASH_ADLER32 = 0, 1, 2
+
+
+@jax.jit
+def _split_meta(meta_in: jnp.ndarray):
+    B = (meta_in.shape[0] - 1) // 3
+    return (meta_in[:B], meta_in[B:2 * B], meta_in[2 * B:3 * B],
+            meta_in[3 * B])
+
+
+@functools.partial(jax.jit, static_argnames=("hash_kind",))
+def _compact_stage(words: jnp.ndarray, tbits: jnp.ndarray,
+                   shards: jnp.ndarray, valid_lens: jnp.ndarray,
+                   nb: jnp.ndarray, hash_kind: int = HASH_NONE):
+    """(words, tbits) -> (buf, meta_out): splice the batch's shard
+    streams in order on DEVICE so the host fetches exactly the
+    compressed bytes plus one small meta array, instead of the padded
+    (B, nwr, 128) word grid.  meta_out i32 = [total_bytes |
+    byte_lens(B) | hash words]; hash words are raw per-row CRC32 over
+    the padded width (hash_kind=1, host fixup via checksum.crc32_fixup)
+    or interleaved Adler s1|s2 (hash_kind=2), sharing the shard upload.
+
+    Replaces the reference's streaming writer drain (bit_writer.zig:63-97)
+    as the device->host seam; stream bytes are identical to
+    encode_batch_staged's per-shard slices."""
+    B = words.shape[0]
+    live = jnp.arange(B, dtype=jnp.int32) < nb
+    blens = jnp.where(live, tbits // 8, 0)
+    offs = jnp.cumsum(blens) - blens
+    total = offs[B - 1] + blens[B - 1]
+    byts = _words_to_bytes(words)
+    L = byts.shape[1]
+    # forward-order placement: update i may clobber bytes past its true
+    # length, but every later shard rewrites its own region afterwards,
+    # and the last shard's spill stays inside the B*L cap
+    buf = jnp.zeros((B * L,), jnp.uint8)
+    for i in range(B):
+        buf = jax.lax.dynamic_update_slice(buf, byts[i], (offs[i],))
+
+    parts = [total[None].astype(jnp.int32), blens.astype(jnp.int32)]
+    if hash_kind == HASH_CRC32:
+        parts.append(checksum._crc32_rows_any(shards).astype(jnp.int32))
+    elif hash_kind == HASH_ADLER32:
+        s1, s2 = checksum._adler_rows_any(shards, valid_lens)
+        parts.append(s1.astype(jnp.int32))
+        parts.append(s2.astype(jnp.int32))
+    return buf, jnp.concatenate(parts)
+
+
+def encode_batch_packed(shards: jnp.ndarray, ctx0: jnp.ndarray,
+                        meta_in: jnp.ndarray, *, S: int, ctx: int, K: int,
+                        nw: int, lazy: bool, max_lazy: int, K3: int = 0,
+                        squeeze: bool = False, blk: int = prs.PARSE_BLK,
+                        hash_kind: int = HASH_NONE,
+                        interpret: bool = False):
+    """Device-compacted twin of encode_batch_staged for the host loop.
+
+    meta_in (3B+1,) i32 = [ctx_lens | valid | finals | nb].  Stage-
+    jitted (same programs as encode_batch_staged plus _compact_stage)
+    so production shapes compile in minutes, not the fused program's
+    tens of minutes."""
+    ctx_lens, valid_lens, finals, nb = _split_meta(meta_in)
+    windows = _prime_windows(shards, ctx0, ctx=ctx)
+    mlen, mdist = match2.find_matches_fused(
+        windows, ctx_lens, valid_lens, K=K, nw=nw, ctx=ctx, K3=K3,
+        interpret=interpret)
+    take, starts, mlen, mdist = _parse_stage(
+        mlen, mdist, lazy=lazy, max_lazy=max_lazy, ctx=ctx, blk=blk,
+        interpret=interpret)
+    m_r, d_r = mlen[:, ctx:], mdist[:, ctx:]
+    take_r, starts_r = take[:, ctx:], starts[:, ctx:]
+    if squeeze:
+        take_r, starts_r, m_r = _squeeze_stage(
+            windows[:, ctx:], m_r, d_r, take_r, starts_r, valid_lens,
+            blk=blk)
+    seg = encode2.seg_size(S, blk)
+    vals, bits, total_bits, kind = encode2.build_fields(
+        windows[:, ctx:], m_r, d_r, starts_r,
+        take_r, valid_lens, finals, S, seg)
+    words, tbits = pk.pack_fields(vals, bits, _nwr(S, seg),
+                                  interpret=interpret)
+    return _compact_stage(words, tbits, shards, valid_lens, nb,
+                          hash_kind=hash_kind)
+
+
+class _ByteFetcher:
+    """Pow2-row granular fetch of the compacted byte buffer: the slice
+    shapes stay in a tiny static set so nothing recompiles per batch."""
+
+    GR = 1 << 17                  # 128 KiB rows
+
+    def __call__(self, buf, total: int) -> np.ndarray:
+        cap = buf.shape[0]
+        if total >= cap:
+            return np.asarray(buf)[:total]
+        rows_all = cap // self.GR
+        rows = -(-max(total, 1) // self.GR)
+        rows = min(1 << (rows - 1).bit_length(), rows_all)
+        if rows * self.GR >= total:
+            view = buf[:rows_all * self.GR].reshape(rows_all, self.GR)
+            return np.asarray(view[:rows]).reshape(-1)[:total]
+        return np.asarray(buf)[:total]
+
+
 class _Fetcher:
     """Bucketed device->host fetch of the used word-row prefix."""
 
@@ -242,6 +355,8 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     blk = min(blk, shard_len)
     while shard_len % blk:
         blk //= 2
+    # the device context carry holds one previous shard's tail
+    ctx = min(ctx, shard_len)
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     S = shard_len
@@ -260,14 +375,140 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
                 and os.environ.get("FLATE_TPU_HOST_HASH") != "1")
     if not dev_hash:
         hasher.update(data)
+    hash_kind = HASH_NONE
+    if dev_hash:
+        hash_kind = (HASH_CRC32 if container is Container.GZIP
+                     else HASH_ADLER32)
+
+    if fused:
+        return _compress_fused_loop(
+            arr, n, S, nshards, level, container, shard_len, ctx, batch,
+            index, independent, interpret, hasher, dev_hash, out,
+            comp_lens)
+
+    # per-batch host work is three transfers: ONE async (B, S) upload,
+    # ONE packed small upload ([ctx_lens | valid | finals | nb]), and
+    # ONE packed small fetch; compressed bytes come back pre-spliced by
+    # the device compaction in encode_batch_packed.  Row-0 context is
+    # carried on DEVICE from the previous batch's last shard tail.
+    zeros_ctx = jnp.zeros(ctx, dtype=jnp.uint8)
+
+    def dispatch(base_shard: int, ctx0_dev):
+        nb = min(batch, nshards - base_shard)
+        lo0 = base_shard * S
+        shards_np = np.zeros((batch, S), dtype=np.uint8)
+        take_n = max(0, min(n - lo0, batch * S))
+        shards_np.reshape(-1)[:take_n] = arr[lo0:lo0 + take_n]
+        meta = np.zeros(3 * batch + 1, dtype=np.int32)
+        if not independent:
+            meta[:batch] = ctx
+            meta[0] = min(ctx, lo0)
+        v = meta[batch:2 * batch]
+        for i in range(nb):
+            v[i] = max(0, min(S, n - (base_shard + i) * S))
+        if base_shard + nb == nshards:
+            meta[2 * batch + nb - 1] = 1
+        meta[3 * batch] = nb
+        shards_dev = jax.device_put(shards_np)
+        buf, meta_out = encode_batch_packed(
+            shards_dev, ctx0_dev, jax.device_put(meta), S=S, ctx=ctx,
+            K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
+            squeeze=squeeze, blk=blk, hash_kind=hash_kind,
+            interpret=interpret)
+        try:
+            meta_out.copy_to_host_async()
+        except AttributeError:
+            pass
+        nxt_ctx = zeros_ctx if independent else shards_dev[batch - 1,
+                                                           S - ctx:]
+        return nb, buf, meta_out, nxt_ctx
+
+    fetch = _ByteFetcher()
+    bases = list(range(0, nshards, batch))
+    # keep two batches in flight so the host-side fetch of batch j
+    # overlaps device compute of j+1 AND the upload of j+2
+    DEPTH = 2
+    queue = []
+    ctx_dev = zeros_ctx
+    for b in bases[:DEPTH]:
+        item = dispatch(b, ctx_dev)
+        ctx_dev = item[3]
+        queue.append(item)
+    ndisp = min(DEPTH, len(bases))
+    for j in range(len(bases)):
+        nb, buf, meta_out, _ = queue.pop(0)
+        if ndisp < len(bases):
+            item = dispatch(bases[ndisp], ctx_dev)
+            ctx_dev = item[3]
+            queue.append(item)
+            ndisp += 1
+        meta_np = np.asarray(meta_out)
+        total = int(meta_np[0])
+        blens = meta_np[1:1 + batch]
+        out += fetch(buf, total).tobytes()
+        comp_lens.extend(int(x) for x in blens[:nb])
+        if dev_hash:
+            base_shard = bases[j]
+            valid = np.minimum(
+                S, np.maximum(
+                    0, n - (base_shard + np.arange(nb)) * S)).astype(
+                        np.int64)
+            if hash_kind == HASH_CRC32:
+                crcs = checksum.crc32_fixup(
+                    meta_np[1 + batch:1 + batch + nb].astype(np.uint32),
+                    valid, checksum.padded_width(S))
+                for i in range(nb):
+                    ln = int(valid[i])
+                    if ln:
+                        hasher.value = crc32_combine(
+                            hasher.value, int(crcs[i]), ln)
+                    hasher.nbytes += ln
+            else:
+                s1 = meta_np[1 + batch:1 + batch + nb].astype(np.uint32)
+                s2 = meta_np[1 + 2 * batch:1 + 2 * batch + nb].astype(
+                    np.uint32)
+                adl = checksum.adler_finalize(s1, s2, valid)
+                for i in range(nb):
+                    ln = int(valid[i])
+                    if ln:
+                        hasher.value = adler32_combine(
+                            hasher.value, int(adl[i]), ln)
+                    hasher.nbytes += ln
+
+    return _assemble(container, index, independent, nshards, S, n,
+                     comp_lens, out, hasher)
+
+
+def _assemble(container, index, independent, nshards, S, n, comp_lens,
+              out, hasher) -> bytes:
+    if index and container is Container.GZIP and nshards <= 8000:
+        from .. import shard_index
+        out_lens = [min(S, n - i * S) if n else 0 for i in range(nshards)]
+        flags = shard_index.FLAG_INDEPENDENT if independent else 0
+        meta = GzipMetadata(
+            extra=shard_index.build_index_extra(comp_lens, out_lens, flags))
+        header = write_header(container, meta)
+    else:
+        header = write_header(container)
+    return header + bytes(out) + write_footer(container, hasher)
+
+
+def _compress_fused_loop(arr, n, S, nshards, level, container, shard_len,
+                         ctx, batch, index, independent, interpret,
+                         hasher, dev_hash, out, comp_lens) -> bytes:
+    """Original word-grid fetch loop over the single-jit fused program —
+    kept as the A/B twin of the packed/staged production path."""
+    K, nw, lazy, max_lazy, K3, squeeze, blk = LEVEL_KERNEL[level]
+    blk = min(blk, shard_len)
+    while shard_len % blk:
+        blk //= 2
 
     def dispatch(base_shard: int):
         nb = min(batch, nshards - base_shard)
         lo0 = base_shard * S
         shards_np = np.zeros((batch, S), dtype=np.uint8)
         take_n = min(n - lo0, nb * S)
-        flat = shards_np.reshape(-1)
-        flat[:take_n] = arr[lo0:lo0 + take_n]
+        shards_np.reshape(-1)[:take_n] = arr[lo0:lo0 + take_n]
         c0 = 0 if independent else min(ctx, lo0)
         ctx0 = np.zeros(ctx, dtype=np.uint8)
         if c0:
@@ -285,8 +526,7 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
         if base_shard + nb == nshards:
             finals[nb - 1] = 1
         shards_dev = jnp.asarray(shards_np)
-        enc_fn = encode_batch if fused else encode_batch_staged
-        words, tbits, kind = enc_fn(
+        words, tbits, kind = encode_batch(
             shards_dev, jnp.asarray(ctx0),
             jnp.asarray(ctx_lens), jnp.asarray(valid),
             jnp.asarray(finals), S=S, ctx=ctx, K=K, nw=nw, lazy=lazy,
@@ -303,8 +543,6 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
 
     fetch = _Fetcher()
     bases = list(range(0, nshards, batch))
-    # keep two batches in flight so the host-side fetch/splice of batch
-    # j overlaps device compute of j+1 AND the upload of j+2
     DEPTH = 2
     queue = [dispatch(b) for b in bases[:DEPTH]]
     for j in range(len(bases)):
@@ -339,14 +577,5 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
                         hasher.value = adler32_combine(
                             hasher.value, int(adl[i]), ln)
                     hasher.nbytes += ln
-
-    if index and container is Container.GZIP and nshards <= 8000:
-        from .. import shard_index
-        out_lens = [min(S, n - i * S) if n else 0 for i in range(nshards)]
-        flags = shard_index.FLAG_INDEPENDENT if independent else 0
-        meta = GzipMetadata(
-            extra=shard_index.build_index_extra(comp_lens, out_lens, flags))
-        header = write_header(container, meta)
-    else:
-        header = write_header(container)
-    return header + bytes(out) + write_footer(container, hasher)
+    return _assemble(container, index, independent, nshards, S, n,
+                     comp_lens, out, hasher)
