@@ -28,11 +28,24 @@ CRC_POLY = 0xEDB88320  # reflected CRC-32 (IEEE 802.3)
 # Host paths (oracle)
 # ---------------------------------------------------------------------------
 
+_NATIVE_MIN = 1 << 16   # ctypes call overhead beats zlib below ~64 KiB
+
+
 def crc32(data: bytes, value: int = 0) -> int:
+    if len(data) >= _NATIVE_MIN:
+        from . import native
+        r = native.crc32(data, value)
+        if r is not None:
+            return r
     return zlib.crc32(data, value) & 0xFFFFFFFF
 
 
 def adler32(data: bytes, value: int = 1) -> int:
+    if len(data) >= _NATIVE_MIN:
+        from . import native
+        r = native.adler32(data, value)
+        if r is not None:
+            return r
     return zlib.adler32(data, value) & 0xFFFFFFFF
 
 

@@ -101,11 +101,12 @@ def _entropy_bits(h: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(h > 0, bits, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "seg"))
+@functools.partial(jax.jit, static_argnames=("S", "seg", "compact"))
 def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
                  mdist: jnp.ndarray, starts: jnp.ndarray,
                  take: jnp.ndarray, valid_len: jnp.ndarray,
-                 final: jnp.ndarray, S: int, seg: int | None = None):
+                 final: jnp.ndarray, S: int, seg: int | None = None,
+                 compact: bool = False):
     """All-device stream planning for a batch of shards.
 
     window_tail (B, S) uint8: the shard bytes (no context);
@@ -384,6 +385,13 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
             [bits, jnp.zeros((B, pad_slots), jnp.int32)], axis=1)
     # dead fields must carry zero values — the packer ORs values verbatim
     vals = jnp.where(bits > 0, vals, 0)
+
+    if not compact:
+        # the packer's cost scales with slot count, but chip-measured the
+        # 3-operand compaction sort (25.5 ms / 4 MiB batch) costs 4x the
+        # extra pack time of the dead slots (~6 ms) — packing the full
+        # slot grid wins
+        return vals, bits, total_bits, kind
 
     # compact live fields to the front via a stable carried sort so the
     # packer sees ~half the slots; dead fields keep zero width, so the

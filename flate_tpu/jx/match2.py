@@ -77,7 +77,7 @@ def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
 FP_MUL = np.uint32(0x01000193)   # FNV prime — fingerprint polynomial
 
 
-def _split_words(nw: int, fp: bool = False) -> tuple[int, int]:
+def _split_words(nw: int, fp: bool | int = False) -> tuple[int, int]:
     """Selection reach 4*nw bytes = ne EXACT carry words + nf
     fingerprint words, each fp_j covering bytes [4*ne*2^j, 4*ne*2^(j+1)).
     Fingerprints RANK candidates only (equal spans -> equal fp; a
@@ -88,10 +88,13 @@ def _split_words(nw: int, fp: bool = False) -> tuple[int, int]:
     measurement shows fp ranking with an 8-byte exact cap loses ~6.7%
     size at level 6 (same-distance chains must re-agree on the selected
     candidate every cap bytes and break); the fp path stays available
-    for chip-time experiments paired with a top-k chain extension."""
+    for chip-time experiments paired with a top-k chain extension.
+    fp=<int> pins ne explicitly (e.g. ne=4: 16-byte exact cap with
+    fingerprints extending the RANKING reach to 4*nw) — a sort-payload
+    economy measured against the size ratchets before adoption."""
     if not fp:
         return nw, 0
-    ne = min(nw, 2)
+    ne = min(nw, fp if isinstance(fp, int) and fp is not True else 2)
     nf = 0
     reach = ne
     while reach < nw:
@@ -388,12 +391,12 @@ def find_matches_fused(window: jnp.ndarray, ctx_len: jnp.ndarray,
         ld, ld2 = _candidate_pass(
             window, min_src_a, limit_a, K=K, nw=nw, hash_bytes=4,
             max_dist=consts.MAX_DISTANCE, interpret=interpret,
-            fp=True, top2=True)
+            fp=fp, top2=True)
         mlen, mdist = runs.extend_chains2(
             (ld >> 16).astype(jnp.int32), (ld & 0xFFFF).astype(jnp.int32),
             (ld2 >> 16).astype(jnp.int32),
             (ld2 & 0xFFFF).astype(jnp.int32),
-            limit, cap=4 * _split_words(nw, True)[0],
+            limit, cap=4 * _split_words(nw, fp)[0],
             interpret=interpret)
     else:
         ld = _candidate_pass(window, min_src_a, limit_a, K=K, nw=nw,

@@ -142,11 +142,13 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     _, _, sel = jax.lax.fori_loop(
         0, blk // U, body, (jnp.int32(0), cost0, sel0))
 
-    # walk each block by sel_len to produce the start mask (UW steps per
-    # while iteration: the walk is bounded by the literal-heaviest lane,
-    # so iteration-count overhead dominates)
+    # walk each block by sel_len to produce the start mask; literal RUNS
+    # are skipped in one hop (every position in the run is a start), so
+    # iterations ~ matches + literal runs, not positions — the same
+    # economy parse.parse_blocks uses
+    from .parse import _runs_of_ones
     iota = jnp.arange(blk, dtype=jnp.int32)[None, :]
-    UW = 4
+    run1 = _runs_of_ones(sel == 1, blk)
 
     def wcond(state):
         cur, visited = state
@@ -154,11 +156,16 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
 
     def wbody(state):
         cur, visited = state
-        for _ in range(UW):
-            oh = iota == cur[:, None]
-            s = jnp.sum(jnp.where(oh, sel, 0), axis=1)
-            visited = visited | oh
-            cur = jnp.where(cur < blk, cur + jnp.maximum(s, 1), cur)
+        oh = iota == cur[:, None]
+        s = jnp.sum(jnp.where(oh, sel, 0), axis=1)
+        r = jnp.sum(jnp.where(oh, run1, 0), axis=1)
+        islit = s == 1
+        span = jnp.where(islit, r, 1)
+        lo = cur[:, None]
+        hi = (cur + span)[:, None]
+        visited = visited | ((iota >= lo) & (iota < hi))
+        adv = jnp.where(islit, r, jnp.maximum(s, 1))
+        cur = jnp.where(cur < blk, cur + adv, cur)
         return cur, visited
 
     cur0 = jnp.zeros((L,), jnp.int32)

@@ -84,6 +84,15 @@ def _load(name: str):
                     ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
                     ctypes.c_size_t, ctypes.c_size_t,
                     ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t]
+            elif name == "fastcrc":
+                lib.fast_crc32.restype = ctypes.c_uint32
+                lib.fast_crc32.argtypes = [
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
+                    ctypes.c_uint32]
+                lib.fast_adler32.restype = ctypes.c_uint32
+                lib.fast_adler32.argtypes = [
+                    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
+                    ctypes.c_uint32]
             elif name == "fastparse":
                 lib.optimal_parse.restype = ctypes.c_int
                 lib.optimal_parse.argtypes = [
@@ -136,6 +145,35 @@ def _inflate_error(rc: int):
 
 def inflate_available() -> bool:
     return _load("fastinflate") is not None
+
+
+def crc32(data, value: int = 0) -> int | None:
+    """PCLMUL-folded CRC32 (zlib convention) or None without the lib.
+
+    `data` is any buffer exposing the C-contiguous buffer protocol."""
+    lib = _load("fastcrc")
+    if lib is None:
+        return None
+    buf = memoryview(data).cast("B")
+    n = len(buf)
+    # zero-copy: numpy wraps the buffer and hands out its address
+    addr = np.frombuffer(buf, dtype=np.uint8) if n else np.empty(0, np.uint8)
+    return int(lib.fast_crc32(
+        addr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n,
+        ctypes.c_uint32(value & 0xFFFFFFFF)))
+
+
+def adler32(data, value: int = 1) -> int | None:
+    """Blocked Adler32 (zlib convention) or None without the lib."""
+    lib = _load("fastcrc")
+    if lib is None:
+        return None
+    buf = memoryview(data).cast("B")
+    n = len(buf)
+    addr = np.frombuffer(buf, dtype=np.uint8) if n else np.empty(0, np.uint8)
+    return int(lib.fast_adler32(
+        addr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n,
+        ctypes.c_uint32(value & 0xFFFFFFFF)))
 
 
 _EXT = None
