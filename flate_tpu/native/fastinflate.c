@@ -135,7 +135,7 @@ static void br_align(BitReader *br) {
 #define LIT_FLAG 0x40000000u
 #define EOB_FLAG 0x20000000u
 #define LIT2_FLAG 0x10000000u
-#define PRIMARY_BITS 11
+#define PRIMARY_BITS 10
 #define PRIMARY_SIZE (1u << PRIMARY_BITS)
 
 /* RFC 1951 base/extra tables (build-time only; decode reads entries) */
