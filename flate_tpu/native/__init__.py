@@ -256,6 +256,39 @@ def optimal_parse(mlen: np.ndarray, mdist: np.ndarray, data: np.ndarray,
     return take, sel
 
 
+ERR_EOS = 1
+
+
+def inflate_shard_into(data: bytes, start: int, length: int,
+                       out: np.ndarray, out_off: int, want: int) -> bool:
+    """Decode one independent indexed shard straight into out[out_off:
+    out_off+want] with the one-shot fast loop (no 64K ring).
+
+    Non-final shards end in a sync flush, not BFINAL, so the decoder
+    runs off the end of the slice after producing all bytes — EndOfStream
+    with a full output is the expected success shape there.  Returns
+    False when the native lib is unavailable; raises the taxonomy error
+    on malformed input."""
+    lib = _load("fastinflate")
+    if lib is None:
+        return False
+    src = np.frombuffer(data, dtype=np.uint8, count=length, offset=start)
+    out_len = ctypes.c_size_t(0)
+    end_bit = ctypes.c_size_t(0)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    dst = out[out_off:out_off + want]
+    rc = lib.inflate_raw(
+        src.ctypes.data_as(u8p), length, 0,
+        dst.ctypes.data_as(u8p), want,
+        ctypes.byref(out_len), ctypes.byref(end_bit))
+    if out_len.value == want and rc in (0, ERR_EOS):
+        return True
+    if rc:
+        raise _inflate_error(rc)()
+    from ..errors import WrongGzipSize
+    raise WrongGzipSize(f"shard produced {out_len.value} != {want}")
+
+
 def inflate_raw(data: bytes, bit_pos: int = 0,
                 dictionary: bytes | None = None,
                 size_hint: int | None = None

@@ -72,27 +72,52 @@ def try_decompress_indexed(data: bytes, offset: int = 0,
         # 1040x > deflate's max expansion (~1032x); a crafted index
         # cannot drive allocations beyond what the payload could encode
         return None
+    import numpy as np
     starts = [offset + hdr_len] * (n + 1)
+    oofs = [0] * (n + 1)
     for i in range(n):
         starts[i + 1] = starts[i] + int(comp_lens[i])
-
-    def decode(i: int):
-        # non-final shards end in a sync flush, not BFINAL, so decode
-        # through the resumable stream with the indexed output budget
-        sh = data[starts[i]:starts[i + 1]]
-        want = int(out_lens[i])
-        st = native.InflateStream(sh)
-        out = st.read(want) if want else b""
-        if len(out) != want:
-            raise WrongGzipSize(f"shard {i}: {len(out)} != {want}")
-        # per-shard CRC inside the pool (zlib releases the GIL too);
-        # combined below with the GF(2) shift operator
-        return out, zlib.crc32(out) if verify else 0
+        oofs[i + 1] = oofs[i] + int(out_lens[i])
+    out_total = oofs[n]
+    # shards decode straight into their regions of ONE output buffer
+    # with the one-shot fast loop — no 64K ring, no per-shard bytes
+    # objects, no final join copy.  The buffer is pre-faulted with one
+    # linear fill: scattered first-touch faults inside the decode loop
+    # measured ~15x slower than a streaming memset on this VM
+    out = np.empty(out_total, dtype=np.uint8)
+    out.fill(0)
 
     workers = threads or min(32, os.cpu_count() or 1)
+    # one task per worker decoding a contiguous shard range: per-call
+    # GIL handoffs convoy at 256 tasks (~7 ms/shard measured), while a
+    # range task re-enters Python only once per shard
+    spans = []
+    per = -(-n // workers)
+    for lo in range(0, n, per):
+        spans.append((lo, min(lo + per, n)))
+
+    def decode_span(span):
+        lo, hi = span
+        crcs = []
+        for i in range(lo, hi):
+            want = int(out_lens[i])
+            if want and not native.inflate_shard_into(
+                    data, starts[i], starts[i + 1] - starts[i],
+                    out, oofs[i], want):
+                raise RuntimeError("native decoder unavailable")
+            # per-shard CRC inside the pool (the C calls release the
+            # GIL); combined below with the GF(2) shift operator
+            if verify and want:
+                c = native.crc32(out[oofs[i]:oofs[i + 1]])
+                crcs.append(zlib.crc32(out[oofs[i]:oofs[i + 1]])
+                            if c is None else c)
+            else:
+                crcs.append(0)
+        return crcs
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(pool.map(decode, range(n)))
-    parts = [r[0] for r in results]
+        crcs = [c for span_crcs in pool.map(decode_span, spans)
+                for c in span_crcs]
 
     total = starts[n]
     if verify:
@@ -100,15 +125,13 @@ def try_decompress_indexed(data: bytes, offset: int = 0,
             raise EndOfStream("gzip footer truncated")
         crc, isize = struct.unpack_from("<II", data, total)
         got = 0
-        size = 0
-        for p, c in results:
-            got = _combine_cached(got, c, len(p))
-            size += len(p)
+        for i, c in enumerate(crcs):
+            got = _combine_cached(got, c, int(out_lens[i]))
         if crc != (got & 0xFFFFFFFF):
             raise WrongGzipChecksum(f"{crc:#x} != {got & 0xFFFFFFFF:#x}")
-        if isize != (size & 0xFFFFFFFF):
-            raise WrongGzipSize(f"{isize} != {size}")
-    return b"".join(parts), total + 8
+        if isize != (out_total & 0xFFFFFFFF):
+            raise WrongGzipSize(f"{isize} != {out_total}")
+    return out.tobytes(), total + 8
 
 
 @functools.lru_cache(maxsize=64)
