@@ -238,6 +238,15 @@ def resolve_compact(words, counts, out_lens, ctx0, *, S: int,
 # Orchestration
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _pack_meta(counts, fail, has_eob, out_len, end_bit):
+    # end_bit is span-relative (<= 2 MiB * 8 bits), so i32 is safe
+    return jnp.stack([
+        counts.astype(jnp.int32), fail.astype(jnp.int32),
+        has_eob.astype(jnp.int32), out_len.astype(jnp.int32),
+        end_bit.astype(jnp.int32)])
+
+
 def _bucket(n: int, lo: int) -> int:
     b = lo
     while b < n:
@@ -293,11 +302,11 @@ def _decode_round(body: bytes, plans: list, span: dict,
             jnp.asarray(sc_ll), jnp.asarray(kb_ll), jnp.asarray(sy_ll),
             jnp.asarray(sc_d), jnp.asarray(kb_d), jnp.asarray(sy_d),
             NS=NS, serial=serial, interpret=interpret)
-        fail_np = np.asarray(fail)
-        eob_np = np.asarray(has_eob)
-        ol_np = np.asarray(out_len)
-        eb_np = np.asarray(end_bit)
-        cn_np = np.asarray(counts)
+        # one packed fetch: each blocking D2H costs a 15-30 ms tunnel
+        # round-trip, so the five per-group scalars ride one array
+        meta_np = np.asarray(_pack_meta(counts, fail, has_eob,
+                                        out_len, end_bit))
+        cn_np, fail_np, eob_np, ol_np, eb_np = meta_np
         for bi, (p, byte0) in enumerate(grp):
             results[p.pos] = {
                 "words": words, "row": bi, "plan": p,
