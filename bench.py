@@ -33,7 +33,7 @@ import zlib
 BASELINE_GBPS = 177_257_685 / 1.8246 / 1e9  # reference level-6, readme.md:25
 BASELINE_DEC_GBPS = 177_244_160 / 0.36436 / 1e9  # readme.md:47
 
-CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "64"))
+CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "176"))  # ref: 177 MB tar
 LEVEL = int(os.environ.get("BENCH_LEVEL", "6"))
 LADDER = os.environ.get("BENCH_LADDER", "small")
 PIPE = os.environ.get("BENCH_PIPE", "v2")
@@ -123,8 +123,28 @@ def sec_headline() -> dict:
     gbps = len(data) / best_s / 1e9
     ok = pygz.decompress(blob) == data
     zl = zlib.compress(data, LEVEL)
+    # tunnel accounting: on an axon-tunneled chip, host<->device moves
+    # ~40 MB/s, which caps E2E wall-clock regardless of device speed —
+    # record the measured transfer rate so the e2e/device gap is data
+    tunnel = {}
+    try:
+        import jax as _jax
+        import numpy as _np
+        probe = _np.zeros(16 * 1024 * 1024, _np.uint8)
+        d = _jax.device_put(probe)
+        _np.asarray(d[:1])
+        t0 = time.time()
+        d = _jax.device_put(probe)
+        _np.asarray(d[:1])
+        tunnel["h2d_gbps"] = round(len(probe) / (time.time() - t0) / 1e9, 4)
+        t0 = time.time()
+        _np.asarray(d)
+        tunnel["d2h_gbps"] = round(len(probe) / (time.time() - t0) / 1e9, 4)
+    except Exception as e:  # pragma: no cover
+        tunnel["error"] = f"{type(e).__name__}: {e}"[:120]
     out = {
         "gbps": round(gbps, 4),
+        "transfer": tunnel,
         "corpus_bytes": len(data),
         "compressed_bytes": len(blob),
         "ratio": round(len(blob) / len(data), 4),

@@ -392,13 +392,19 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     # the device compaction in encode_batch_packed.  Row-0 context is
     # carried on DEVICE from the previous batch's last shard tail.
     zeros_ctx = jnp.zeros(ctx, dtype=jnp.uint8)
+    # staging buffers are reused round-robin (DEPTH+1 covers the two
+    # in-flight uploads plus the one being filled): a fresh 4 MiB
+    # allocation per batch pays first-touch fault costs every time
+    staging = [np.zeros((batch, S), dtype=np.uint8) for _ in range(3)]
 
-    def dispatch(base_shard: int, ctx0_dev):
+    def dispatch(base_shard: int, ctx0_dev, sbuf_i: int):
         nb = min(batch, nshards - base_shard)
         lo0 = base_shard * S
-        shards_np = np.zeros((batch, S), dtype=np.uint8)
+        shards_np = staging[sbuf_i]
         take_n = max(0, min(n - lo0, batch * S))
         shards_np.reshape(-1)[:take_n] = arr[lo0:lo0 + take_n]
+        if take_n < batch * S:
+            shards_np.reshape(-1)[take_n:] = 0
         meta = np.zeros(3 * batch + 1, dtype=np.int32)
         if not independent:
             meta[:batch] = ctx
@@ -431,14 +437,14 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     queue = []
     ctx_dev = zeros_ctx
     for b in bases[:DEPTH]:
-        item = dispatch(b, ctx_dev)
+        item = dispatch(b, ctx_dev, len(queue) % len(staging))
         ctx_dev = item[3]
         queue.append(item)
     ndisp = min(DEPTH, len(bases))
     for j in range(len(bases)):
         nb, buf, meta_out, _ = queue.pop(0)
         if ndisp < len(bases):
-            item = dispatch(bases[ndisp], ctx_dev)
+            item = dispatch(bases[ndisp], ctx_dev, ndisp % len(staging))
             ctx_dev = item[3]
             queue.append(item)
             ndisp += 1

@@ -52,10 +52,11 @@ def _match_bits(l: jnp.ndarray, d: jnp.ndarray, ll_bits: jnp.ndarray,
     return lbits + leb + dbits + deb
 
 
-@functools.partial(jax.jit, static_argnames=("blk",))
+@functools.partial(jax.jit, static_argnames=("blk", "grid_only"))
 def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
                   mdist: jnp.ndarray, ll_bits: jnp.ndarray,
-                  d_bits: jnp.ndarray, blk: int = 1024):
+                  d_bits: jnp.ndarray, blk: int = 1024,
+                  grid_only: bool = False):
     """Cost-optimal (take, starts, sel_len) over the shard region.
 
     window_tail/mlen/mdist: (B, S) shard-region arrays (matches already
@@ -76,14 +77,25 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     # read) plus static grid lengths g < mlen (static column reads —
     # GRID values are compile-time constants, so cost_win[:, g-1] costs
     # nothing; ~15x cheaper than one-hot reads per option).
-    full_l = jnp.where(mlen >= consts.MIN_MATCH_LEN, mlen, 0)
-    full_c = jnp.where(mlen >= consts.MIN_MATCH_LEN,
-                       _match_bits(mlen, mdist, ll_bits, d_bits), BIG)
+    # grid_only drops the dynamic full-length option (matches quantize
+    # DOWN to the nearest grid length; the tail re-parses, usually as a
+    # same-distance continuation) — every DP read becomes a dynamic-
+    # scalar column slice instead of a per-lane one-hot over the whole
+    # (L, WIN) ring.
+    if grid_only:
+        full_l = jnp.zeros_like(mlen)
+        full_c = jnp.full_like(mlen, BIG)
+        sgrid = GRID                          # incl. 258
+    else:
+        full_l = jnp.where(mlen >= consts.MIN_MATCH_LEN, mlen, 0)
+        full_c = jnp.where(mlen >= consts.MIN_MATCH_LEN,
+                           _match_bits(mlen, mdist, ll_bits, d_bits), BIG)
+        sgrid = GRID[:-1]                     # 258 comes via full_l
     static_c = []
-    for g in GRID[:-1]:
-        okay = mlen > g                       # l = g exactly; mlen == g
-        cost = _match_bits(jnp.full_like(mlen, g), mdist,   # is full_l
-                           ll_bits, d_bits)
+    for g in sgrid:
+        okay = (mlen >= g) if grid_only else (mlen > g)
+        cost = _match_bits(jnp.full_like(mlen, g), mdist,   # mlen == g
+                           ll_bits, d_bits)                 # is full_l
         static_c.append(jnp.where(okay, cost, BIG))
 
     def to_lanes(x):
@@ -109,16 +121,17 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
         best = lit_l[:, i] + jax.lax.dynamic_slice(
             cost_ring, (0, h), (L, 1))[:, 0]
         bl = jnp.ones((L,), jnp.int32)
-        l = fl[:, i]
-        slot = jax.lax.rem(h + l - 1, WIN)
-        c = fc[:, i] + jnp.sum(
-            jnp.where(lane_iota == slot[:, None], cost_ring, 0),
-            axis=1)
-        c = jnp.where(l > 0, c, BIG)
-        upd = c < best
-        best = jnp.where(upd, c, best)
-        bl = jnp.where(upd, l, bl)
-        for o, g in enumerate(GRID[:-1]):
+        if not grid_only:
+            l = fl[:, i]
+            slot = jax.lax.rem(h + l - 1, WIN)
+            c = fc[:, i] + jnp.sum(
+                jnp.where(lane_iota == slot[:, None], cost_ring, 0),
+                axis=1)
+            c = jnp.where(l > 0, c, BIG)
+            upd = c < best
+            best = jnp.where(upd, c, best)
+            bl = jnp.where(upd, l, bl)
+        for o, g in enumerate(sgrid):
             c = sc[o, :, i] + jax.lax.dynamic_slice(
                 cost_ring, (0, jax.lax.rem(h + g - 1, WIN)), (L, 1))[:, 0]
             upd = c < best
