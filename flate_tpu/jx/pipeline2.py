@@ -108,11 +108,9 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
                  squeeze: bool = False, blk: int = prs.PARSE_BLK,
                  interpret: bool = False):
     """shards (B, S) u8 -> (words (B, nwr, 128) u32, tbits (B,), kind)."""
-    # context priming: row b takes row b-1's tail on device; row 0 takes
-    # the host-provided carry
-    tails = shards[:, S - ctx:]
-    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
-    windows = jnp.concatenate([prev, shards], axis=1)
+    # context priming: row b takes the previous rows' tails on device;
+    # row 0 (and rows < ceil(ctx/S)) take the host/device carry
+    windows = _prime_windows(shards, ctx0, ctx=ctx)
     return encode_core(windows, ctx_lens, valid_lens, finals, S=S, ctx=ctx,
                        K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
                        squeeze=squeeze, blk=blk, interpret=interpret)
@@ -120,10 +118,18 @@ def encode_batch(shards: jnp.ndarray, ctx0: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("ctx",))
 def _prime_windows(shards: jnp.ndarray, ctx0: jnp.ndarray, *, ctx: int):
-    S = shards.shape[1]
-    tails = shards[:, S - ctx:]
-    prev = jnp.concatenate([ctx0[None, :], tails[:-1]], axis=0)
-    return jnp.concatenate([prev, shards], axis=1)
+    """(B, S) + (ctx,) carry -> (B, ctx+S) windows.
+
+    Row b's context is the last `ctx` bytes of [carry | rows 0..b-1],
+    so ctx may exceed S (kc = ceil(ctx/S) previous rows contribute —
+    small-shard configs keep the full 32 KiB DEFLATE window)."""
+    B, S = shards.shape
+    kc = -(-ctx // S)
+    pad = kc * S - ctx
+    c0 = jnp.pad(ctx0, (pad, 0)) if pad else ctx0
+    ext = jnp.concatenate([c0.reshape(kc, S), shards], axis=0)
+    parts = [ext[j:j + B] for j in range(kc)] + [shards]
+    return jnp.concatenate(parts, axis=1)[:, pad:]
 
 
 @functools.partial(jax.jit, static_argnames=("lazy", "max_lazy", "ctx",
@@ -355,8 +361,6 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
     blk = min(blk, shard_len)
     while shard_len % blk:
         blk //= 2
-    # the device context carry holds one previous shard's tail
-    ctx = min(ctx, shard_len)
     arr = np.frombuffer(data, dtype=np.uint8)
     n = arr.size
     S = shard_len
@@ -407,8 +411,8 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
             shards_np.reshape(-1)[take_n:] = 0
         meta = np.zeros(3 * batch + 1, dtype=np.int32)
         if not independent:
-            meta[:batch] = ctx
-            meta[0] = min(ctx, lo0)
+            meta[:batch] = np.minimum(
+                ctx, lo0 + np.arange(batch, dtype=np.int64) * S)
         v = meta[batch:2 * batch]
         for i in range(nb):
             v[i] = max(0, min(S, n - (base_shard + i) * S))
@@ -425,8 +429,13 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
             meta_out.copy_to_host_async()
         except AttributeError:
             pass
-        nxt_ctx = zeros_ctx if independent else shards_dev[batch - 1,
-                                                           S - ctx:]
+        if independent:
+            nxt_ctx = zeros_ctx
+        else:
+            # last ctx bytes of [carry | batch] (ctx may exceed S)
+            kc = -(-ctx // S)
+            rows = shards_dev[max(0, batch - kc):].reshape(-1)
+            nxt_ctx = jnp.concatenate([ctx0_dev, rows])[-ctx:]
         return nb, buf, meta_out, nxt_ctx
 
     fetch = _ByteFetcher()
@@ -522,8 +531,9 @@ def _compress_fused_loop(arr, n, S, nshards, level, container, shard_len,
         if independent:
             ctx_lens = np.zeros(batch, dtype=np.int32)
         else:
-            ctx_lens = np.full(batch, ctx, dtype=np.int32)
-            ctx_lens[0] = c0
+            ctx_lens = np.minimum(
+                ctx, lo0 + np.arange(batch, dtype=np.int64) * S
+            ).astype(np.int32)
         valid = np.full(batch, S, dtype=np.int32)
         for i in range(nb):
             valid[i] = min(S, n - (base_shard + i) * S)

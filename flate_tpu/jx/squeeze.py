@@ -193,9 +193,15 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
 
 def greedy_code_lengths(window_tail: jnp.ndarray, mlen: jnp.ndarray,
                         mdist: jnp.ndarray, starts: jnp.ndarray,
-                        take: jnp.ndarray, valid_len: jnp.ndarray):
+                        take: jnp.ndarray, valid_len: jnp.ndarray,
+                        exact: bool = False):
     """Code lengths from the greedy pass's token histogram (the DP's
-    cost model; mirrors build_fields' histogram stage)."""
+    cost model; mirrors build_fields' histogram stage).
+
+    The DP only RANKS parses — emission builds exact tables later — so
+    the default cost model is the rounded entropy estimate
+    (-log2 p + 0.35, the same estimator build_fields' stored/coded
+    decision uses); exact=True restores package-merge lengths."""
     from . import huff
     B, S = window_tail.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -209,9 +215,20 @@ def greedy_code_lengths(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     hll = onehot.hist_onehot(llsym, tok_start, consts.NUM_LITLEN)
     hll = hll.at[:, consts.END_OF_BLOCK].add(1)
     hdd = onehot.hist_onehot(dsym, is_m, consts.NUM_DIST)
-    ll_lens = huff.pm_lengths(hll, consts.MAX_CODE_BITS)
-    d_lens = huff.pm_lengths(hdd, consts.MAX_CODE_BITS)
+    if exact:
+        ll_lens = huff.pm_lengths(hll, consts.MAX_CODE_BITS)
+        d_lens = huff.pm_lengths(hdd, consts.MAX_CODE_BITS)
+    else:
+        ll_lens = jnp.round(_entropy_lens(hll)).astype(jnp.int32)
+        d_lens = jnp.round(_entropy_lens(hdd)).astype(jnp.int32)
     # zero-length guards: unseen symbols cost a pessimistic 15 bits
     ll_bits = jnp.where(ll_lens > 0, ll_lens, 15)
     d_bits = jnp.where(d_lens > 0, d_lens, 15)
     return ll_bits, d_bits
+
+
+def _entropy_lens(h: jnp.ndarray) -> jnp.ndarray:
+    total = jnp.maximum(1, h.sum(axis=1, keepdims=True)).astype(jnp.float32)
+    p = h.astype(jnp.float32) / total
+    bits = jnp.clip(-jnp.log2(jnp.maximum(p, 1e-9)) + 0.35, 1.0, 15.0)
+    return jnp.where(h > 0, bits, 0.0)

@@ -520,6 +520,8 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
                     + (uint32_t)((br->buf >> dcb) & ((1u << deb) - 1));
                 br->buf >>= dcb + deb;
                 br->nbits -= (int)(dcb + deb);
+                /* start the match-source load before the refill ops */
+                __builtin_prefetch(out + w - dist);
                 /* refill for the NEXT symbol before the copy: the
                  * 8-byte load and shift-merge issue while the copy's
                  * stores drain (out never aliases br/tables) */

@@ -1,10 +1,13 @@
 """v2 device pipeline end-to-end on CPU (interpret mode, small shards)."""
 
 import gzip as pygzip
+import pathlib
 import zlib as pyzlib
 
 import numpy as np
 import pytest
+
+DATA = pathlib.Path(__file__).parent / "data"
 
 import flate_tpu as ft
 from flate_tpu.containers import Container
@@ -70,13 +73,56 @@ def test_cross_shard_context_used():
     assert len(blob) < CTX + len(data) // 50
 
 
+def test_context_wider_than_shard(rfc_text):
+    """ctx > shard_len: the k-row device context carry must supply the
+    full DEFLATE window from multiple previous shards (the 16K-shard
+    configs regressed vs zlib by exactly this missing window)."""
+    data = rfc_text[: 6 * S]
+    blob = pipeline2.compress_device2(
+        data, level=6, shard_len=S, ctx=3 * S + 100, batch=2,
+        interpret=True)
+    assert pygzip.decompress(blob) == data
+    # period-(2S) data: every period after the first must compress to
+    # matches, which requires context reaching 2 shards back
+    period = bytes(np.random.default_rng(5).integers(
+        0, 256, 2 * S, dtype=np.uint8))
+    rep = period * 3
+    blob = pipeline2.compress_device2(
+        rep, level=6, shard_len=S, ctx=2 * S, batch=2, interpret=True)
+    assert pygzip.decompress(blob) == rep
+    assert len(blob) < 2 * S + len(rep) // 8
+
+
 @pytest.mark.parametrize("level", [1, 6])
-def test_staged_and_fused_identical(rfc_text, level):
+def test_staged_and_fused_identical(level):
     """The staged-jit production path and the single fused jit must be
     the SAME program mathematically: identical packed words, bit counts,
-    and block kinds for identical inputs (VERDICT r2 item 10)."""
+    and block kinds for identical inputs (VERDICT r2 item 10).
+
+    Runs in a SUBPROCESS: the fused-program XLA:CPU compile segfaults
+    when issued late in a long one-process suite (hundreds of live
+    executables; jax compiler.py backend_compile_and_load) while
+    passing in isolation — the isolation is the fix, and a crash here
+    must fail THIS test, not kill the whole run (VERDICT r3 #5/#7)."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import sys; sys.path.insert(0, %r); "
+         "from tests.test_pipeline2 import staged_fused_check; "
+         "staged_fused_check(%d)" % (
+             str(pathlib.Path(__file__).parent.parent), level)],
+        capture_output=True, timeout=900,
+        cwd=pathlib.Path(__file__).parent.parent)
+    assert r.returncode == 0, (r.stderr.decode()[-2000:] or
+                               r.stdout.decode()[-500:])
+
+
+def staged_fused_check(level):
     import jax.numpy as jnp
-    from flate_tpu.jx import parse as prs
+
+    rfc_text = (DATA / "rfc1951.txt").read_bytes()
 
     K, nw, lazy, max_lazy, K3, squeeze, blk = pipeline2.LEVEL_KERNEL[level]
     blk = min(blk, S)
