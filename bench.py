@@ -324,16 +324,31 @@ def _stage_profile(data: bytes) -> dict:
     win = _pp._prime_windows(sh, c0, ctx=ctx)
     ml, md = _pp.match2.find_matches_fused(win, cl, vl, K=K, nw=nw,
                                            ctx=ctx, K3=K3)
+    tk, st, ml2, md2 = _pp._parse_stage(ml, md, lazy=lz, max_lazy=mx,
+                                        ctx=ctx, blk=blk)
+    m_r, d_r = ml2[:, ctx:], md2[:, ctx:]
+    tk_r, st_r = tk[:, ctx:], st[:, ctx:]
+    wt = win[:, ctx:]
+    seg = _pp.encode2.seg_size(S, blk)
+    vals, bits, _tb, _kd = _pp.encode2.build_fields(
+        wt, m_r, d_r, st_r, tk_r, vl, fnl, S, seg)
     prof = {
         "batch_mb": batch * S / 1e6,
         "match_ms": sync_ms(lambda: _pp.match2.find_matches_fused(
             win, cl, vl, K=K, nw=nw, ctx=ctx, K3=K3)),
         "parse_ms": sync_ms(lambda: _pp._parse_stage(
             ml, md, lazy=lz, max_lazy=mx, ctx=ctx, blk=blk)),
+        "build_ms": sync_ms(lambda: _pp.encode2.build_fields(
+            wt, m_r, d_r, st_r, tk_r, vl, fnl, S, seg)),
+        "pack_ms": sync_ms(lambda: _pp.pk.pack_fields(
+            vals, bits, _pp._nwr(S, seg))),
         "e2e_ms": sync_ms(lambda: _pp.encode_batch_staged(
             sh, c0, cl, vl, fnl, S=S, ctx=ctx, K=K, nw=nw, lazy=lz,
             max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)),
     }
+    if sqz:
+        prof["squeeze_ms"] = sync_ms(lambda: _pp._squeeze_stage(
+            wt, m_r, d_r, tk_r, st_r, vl, blk=blk))
     prof["device_gbps"] = round(batch * S / prof["e2e_ms"] / 1e6, 4)
     # jax.profiler trace of one e2e batch (SURVEY §5 tracing obligation)
     trace_dir = os.environ.get("BENCH_TRACE_DIR", "/tmp/flate_tpu_trace")

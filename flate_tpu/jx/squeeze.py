@@ -43,13 +43,30 @@ def _match_bits(l: jnp.ndarray, d: jnp.ndarray, ll_bits: jnp.ndarray,
     l, d: (B, S); ll_bits (B, 286), d_bits (B, 30) code lengths."""
     lc = enc.length_code(jnp.maximum(l, 3))
     _, leb = enc.length_extra(jnp.maximum(l, 3), lc)
-    dc = enc.dist_code(jnp.maximum(d, 1))
-    _, deb = enc.dist_extra(jnp.maximum(d, 1), dc)
     lbits = onehot.lookup_onehot(ll_bits.astype(jnp.uint32),
                                  257 + lc).astype(jnp.int32)
+    return lbits + leb + _dist_cost(d, d_bits)
+
+
+def _dist_cost(d: jnp.ndarray, d_bits: jnp.ndarray) -> jnp.ndarray:
+    dc = enc.dist_code(jnp.maximum(d, 1))
+    _, deb = enc.dist_extra(jnp.maximum(d, 1), dc)
     dbits = onehot.lookup_onehot(d_bits.astype(jnp.uint32),
                                  dc).astype(jnp.int32)
-    return lbits + leb + dbits + deb
+    return dbits + deb
+
+
+def _length_code_py(length: int) -> tuple[int, int]:
+    """(code, extra_bits) for a compile-time length — host arithmetic
+    so constant grid lengths never trace a table lookup."""
+    n = length - 3
+    if n == 255:
+        return 28, 0
+    if n < 8:
+        return n, 0
+    e = max(n.bit_length() - 1 - 2, 1)
+    code = (e << 2) + (n >> e)
+    return code, (code >> 2) - 1
 
 
 @functools.partial(jax.jit, static_argnames=("blk", "grid_only"))
@@ -82,20 +99,28 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     # same-distance continuation) — every DP read becomes a dynamic-
     # scalar column slice instead of a per-lane one-hot over the whole
     # (L, WIN) ring.
+    dcost = _dist_cost(mdist, d_bits)         # shared by every option
     if grid_only:
         full_l = jnp.zeros_like(mlen)
         full_c = jnp.full_like(mlen, BIG)
         sgrid = GRID                          # incl. 258
     else:
         full_l = jnp.where(mlen >= consts.MIN_MATCH_LEN, mlen, 0)
+        lc = enc.length_code(jnp.maximum(mlen, 3))
+        _, leb = enc.length_extra(jnp.maximum(mlen, 3), lc)
+        lbits = onehot.lookup_onehot(ll_bits.astype(jnp.uint32),
+                                     257 + lc).astype(jnp.int32)
         full_c = jnp.where(mlen >= consts.MIN_MATCH_LEN,
-                           _match_bits(mlen, mdist, ll_bits, d_bits), BIG)
+                           lbits + leb + dcost, BIG)
         sgrid = GRID[:-1]                     # 258 comes via full_l
     static_c = []
     for g in sgrid:
         okay = (mlen >= g) if grid_only else (mlen > g)
-        cost = _match_bits(jnp.full_like(mlen, g), mdist,   # mlen == g
-                           ll_bits, d_bits)                 # is full_l
+        # constant grid length: code/extra on host, the per-row code
+        # length is one table COLUMN — no lookup loop per grid point
+        gc, geb = _length_code_py(g)
+        cost = ll_bits[:, 257 + gc].astype(jnp.int32)[:, None] \
+            + geb + dcost
         static_c.append(jnp.where(okay, cost, BIG))
 
     def to_lanes(x):
