@@ -660,6 +660,13 @@ def decode_batch(comp, clen, start, lims_ll, kbase_ll, syms_ll,
     return out, err, counts
 
 
+@jax.jit
+def _pack_flags(err, spec):
+    """One fetched array for the per-round flag pair — each blocking
+    D2H is a 15-30 ms tunnel round-trip."""
+    return jnp.stack([err.astype(jnp.int32), spec.astype(jnp.int32)])
+
+
 def _bucket(c: int) -> int:
     b = 8192
     while b < c:
@@ -711,7 +718,7 @@ class _Segmented(Exception):
 
 def decompress_member_device(data: bytes, offset: int,
                              container: Container = Container.GZIP,
-                             batch: int = 8, interpret: bool = False,
+                             batch: int = 32, interpret: bool = False,
                              verify: bool = True):
     """Decode one indexed member starting at `offset`.
 
@@ -819,10 +826,17 @@ def _decompress_member_indexed(data: bytes, offset: int,
                 dev_out, err, _ = decode_batch(
                     *args, S=S, NS=NS, interpret=interpret)
                 spec_np = np.zeros(Bc, bool)
+                err_np = np.asarray(err)
             else:
                 dev_out, err, _, spec_fail = decode_batch2(
                     *args, S=S, NS=NS, interpret=interpret)
-                spec_np = np.asarray(spec_fail)
+                try:  # one blocking round-trip for the two flag arrays
+                    dev_out.copy_to_host_async()
+                except AttributeError:
+                    pass
+                flags = np.asarray(_pack_flags(err, spec_fail))
+                err_np, spec_np = flags[0].astype(bool), \
+                    flags[1].astype(bool)
             if spec_np.any():
                 # lane speculation unproven for some shard: decode the
                 # run on host (exact, rare) — correctness never depends
@@ -835,7 +849,6 @@ def _decompress_member_indexed(data: bytes, offset: int,
                     hasher.update(r)
                 j = k
                 continue
-            err_np = np.asarray(err)
             out_np = np.asarray(dev_out).reshape(Bc, S)
             if err_np.any():
                 # a coded-first shard with MORE blocks after its first
@@ -858,7 +871,7 @@ def _decompress_member_indexed(data: bytes, offset: int,
 
 def decompress_device(data: bytes,
                       container: Container = Container.GZIP,
-                      batch: int = 8,
+                      batch: int = 32,
                       interpret: bool = False) -> bytes:
     """Device decode of a (possibly multi-member) indexed stream."""
     from .. import metrics
