@@ -16,6 +16,7 @@ oracle for the device kernels.
 
 from __future__ import annotations
 
+import functools
 import zlib
 
 import numpy as np
@@ -80,25 +81,45 @@ def _crc_shift_operator() -> np.ndarray:
     return mat
 
 
-def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
-    """CRC of concatenated streams given the two CRCs and the 2nd length.
-
-    Appending len2 zero bytes to stream 1 shifts its CRC by the 8*len2-bit
-    zero operator; square-and-multiply over the bits of len2 applies it in
-    O(log len2) 32x32 GF(2) matrix ops."""
-    if len2 <= 0:
-        return crc1 & 0xFFFFFFFF
+@functools.lru_cache(maxsize=256)
+def _crc_shift_cols(len2: int) -> tuple:
+    """Columns of the finalized-crc shift-by-len2-zero-bytes operator,
+    plus its affine constant (crc32_combine(x, 0, len2) is affine in x
+    over GF(2)).  Cached per length: compress/decompress paths combine
+    thousands of SAME-LENGTH shards, and rebuilding the matrix powers
+    per call was 0.8 s of pure Python per 32 MiB (chip cProfile)."""
     op = _crc_shift_operator()                 # shift by 1 zero bit
     op = _gf2_matrix_square(op)                # 2 bits
     op = _gf2_matrix_square(op)                # 4 bits
     op = _gf2_matrix_square(op)                # 8 bits = 1 zero byte
-    while len2:
-        if len2 & 1:
-            crc1 = _gf2_matrix_times(op, crc1)
-        len2 >>= 1
-        if len2:
+    n = len2
+    shifted_basis = [1 << i for i in range(32)]
+    while n:
+        if n & 1:
+            shifted_basis = [_gf2_matrix_times(op, v)
+                             for v in shifted_basis]
+        n >>= 1
+        if n:
             op = _gf2_matrix_square(op)
-    return (crc1 ^ crc2) & 0xFFFFFFFF
+    return tuple(shifted_basis)
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """CRC of concatenated streams given the two CRCs and the 2nd length.
+
+    Appending len2 zero bytes to stream 1 shifts its CRC by the 8*len2-bit
+    zero operator (square-and-multiply, cached per len2)."""
+    if len2 <= 0:
+        return crc1 & 0xFFFFFFFF
+    cols = _crc_shift_cols(len2)
+    y = 0
+    i = 0
+    while crc1:
+        if crc1 & 1:
+            y ^= cols[i]
+        crc1 >>= 1
+        i += 1
+    return (y ^ crc2) & 0xFFFFFFFF
 
 
 def adler32_combine(ad1: int, ad2: int, len2: int) -> int:

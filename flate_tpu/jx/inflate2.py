@@ -718,7 +718,7 @@ class _Segmented(Exception):
 
 def decompress_member_device(data: bytes, offset: int,
                              container: Container = Container.GZIP,
-                             batch: int = 32, interpret: bool = False,
+                             batch: int = 8, interpret: bool = False,
                              verify: bool = True):
     """Decode one indexed member starting at `offset`.
 
@@ -871,7 +871,7 @@ def _decompress_member_indexed(data: bytes, offset: int,
 
 def decompress_device(data: bytes,
                       container: Container = Container.GZIP,
-                      batch: int = 32,
+                      batch: int = 8,
                       interpret: bool = False) -> bytes:
     """Device decode of a (possibly multi-member) indexed stream."""
     from .. import metrics

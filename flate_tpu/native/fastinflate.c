@@ -458,43 +458,33 @@ static int decode_block(BitReader *br, Tables *t, uint8_t *out,
             }
             uint32_t e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
             if (e & LIT_FLAG) {
-                /* up to 4 literal entries per refill (4 x 11 bits = 44
-                 * <= the 56-bit fill) — each may be a packed PAIR, so
-                 * up to 8 bytes per refill */
-                br->buf >>= (e & 15);
-                br->nbits -= (int)(e & 15);
-                out[w] = (uint8_t)(e >> 16);
-                out[w + 1] = (uint8_t)(e >> 8);
-                w += 1 + ((e >> 28) & 1);
-                e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
-                if (e & LIT_FLAG) {
+                /* chained literal entries per refill — each may be a
+                 * packed PAIR, so up to ~8 bytes per refill.  Single
+                 * literals resolved through the SUB-tables consume up
+                 * to 15 bits, so the chain must stop while >= 15 bits
+                 * of credit remain: a 4th 15-bit consume would drive
+                 * nbits negative and the next refill's `v << nbits`
+                 * is UB (chip-found: device-produced tables carry
+                 * 12-15 bit literal codes that zlib's rarely do) */
+                for (;;) {
                     br->buf >>= (e & 15);
                     br->nbits -= (int)(e & 15);
                     out[w] = (uint8_t)(e >> 16);
                     out[w + 1] = (uint8_t)(e >> 8);
                     w += 1 + ((e >> 28) & 1);
+                    if (br->nbits < 15)
+                        break;               /* outer loop refills */
                     e = tbl2_find(t->ll1, t->ll_sub, (uint32_t)br->buf);
-                    if (e & LIT_FLAG) {
-                        br->buf >>= (e & 15);
-                        br->nbits -= (int)(e & 15);
-                        out[w] = (uint8_t)(e >> 16);
-                        out[w + 1] = (uint8_t)(e >> 8);
-                        w += 1 + ((e >> 28) & 1);
-                        e = tbl2_find(t->ll1, t->ll_sub,
-                                      (uint32_t)br->buf);
-                        if (e & LIT_FLAG) {
-                            br->buf >>= (e & 15);
-                            br->nbits -= (int)(e & 15);
-                            out[w] = (uint8_t)(e >> 16);
-                            out[w + 1] = (uint8_t)(e >> 8);
-                            w += 1 + ((e >> 28) & 1);
-                            continue;
-                        }
-                    }
+                    if (!(e & LIT_FLAG))
+                        goto nonliteral;
                 }
-                /* non-literal after 1-3 entries: >= 11 bits may
-                 * remain, not enough for symbol+extras — loop back
-                 * through the refill without consuming e */
+                continue;
+            }
+            if (0) {
+nonliteral:
+                /* non-literal after the chain: >= 15 bits remain,
+                 * not enough for symbol+extras — loop back through
+                 * the refill without consuming e */
                 if (br->nbits < 48)
                     continue;
             }

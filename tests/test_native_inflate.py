@@ -67,3 +67,27 @@ def test_large_overlap_matches_native():
     stream = co.compress(data) + co.flush()
     out, _ = native.inflate_raw(stream)
     assert out == data
+
+
+def test_device_shard_long_literal_codes():
+    """Regression: a device-produced shard whose dynamic table carries
+    12-15 bit literal codes drove the fast loop's literal chain past its
+    bit credit (nbits went negative -> UB refill shift -> corrupt
+    output, InvalidBlockType mid-stream).  The fixture decodes clean
+    under zlib and the spec decoder; the native one-shot must agree."""
+    import pathlib
+    import zlib
+
+    from flate_tpu import native
+
+    import numpy as np
+
+    sh = (pathlib.Path(__file__).parent /
+          "data" / "device_shard_longlit.bin").read_bytes()
+    d = zlib.decompressobj(-15)
+    want = d.decompress(sh)
+    out = np.zeros(len(want), np.uint8)
+    # sync-flush-terminated shard (no BFINAL): the shard-into API treats
+    # end-of-slice with a full region as success
+    assert native.inflate_shard_into(sh, 0, len(sh), out, 0, len(want))
+    assert out.tobytes() == want
