@@ -329,7 +329,7 @@ class _Fetcher:
 def compress_device2(data: bytes, level: int = consts.LEVEL_DEFAULT,
                      container: Container = Container.GZIP,
                      shard_len: int = consts.SHARD_LEN,
-                     ctx: int = CTX, batch: int = 32,
+                     ctx: int = CTX, batch: int = 64,
                      index: bool = True,
                      independent: bool = False,
                      interpret: bool = False,
