@@ -315,13 +315,19 @@ def _stage_profile(data: bytes) -> dict:
     vl = _jnp.asarray(_np.full(batch, S, _np.int32))
     fnl = _jnp.asarray(_np.zeros(batch, _np.int32))
 
+    def _sync(r):
+        # slice ON DEVICE first, then fetch one element per leaf —
+        # np.asarray(leaf) would drag the full array through the
+        # tunnel (~40 MB/s) and dominate every stage number
+        for leaf in _jax.tree_util.tree_leaves(r):
+            _np.asarray(leaf.reshape(-1)[:1])
+
     def sync_ms(f, n=10):
-        r = f()
-        _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+        _sync(f())
         t0 = time.perf_counter()
         for _ in range(n):
             r = f()
-        _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+        _sync(r)
         return round((time.perf_counter() - t0) / n * 1e3, 1)
 
     win = _pp._prime_windows(sh, c0, ctx=ctx)
@@ -360,7 +366,7 @@ def _stage_profile(data: bytes) -> dict:
             r = _pp.encode_batch_staged(
                 sh, c0, cl, vl, fnl, S=S, ctx=ctx, K=K, nw=nw, lazy=lz,
                 max_lazy=mx, K3=K3, squeeze=sqz, blk=blk)
-            _np.asarray(_jax.tree_util.tree_leaves(r)[0])[..., :1]
+            _sync(r)
         prof["trace_dir"] = trace_dir
     except Exception as e:  # pragma: no cover
         prof["trace_error"] = f"{type(e).__name__}: {e}"[:120]
