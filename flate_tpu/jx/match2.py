@@ -184,13 +184,13 @@ def _prep(window: jnp.ndarray, ne: int, nf: int, hash_bytes: int,
 # Matcher kernel: K sorted predecessors, halo from the previous block
 # ---------------------------------------------------------------------------
 
-def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
-                    kc_ref, kp_ref, wc_ref, wp_ref, meta_ref, out_ref,
-                    out2_ref=None):
-    """Blocks (1, 1, [nc,] SUB, LANES): kc/wc = this tile, kp/wp = the
-    previous tile (block 0 of the operand arrays is a sentinel tile).
-    Candidate k is the flat predecessor at sorted distance k+1, reached
-    with the 2-D roll-select shift (requires K <= LANES).
+def _matcher_kernel(K: int, ne: int, nf: int, top2: bool, *refs):
+    """Blocks (1, 1, SUB, LANES): per operand, a (cur, prev) ref pair —
+    prev is the SAME array at block index max(t-1, 0), so tile 0 masks
+    its halo to the sentinel key instead of reading a sentinel tile
+    (saves the halo concat + tile-major stack, ~55 MB of HBM copies
+    per 8 MiB batch).  Candidate k is the flat predecessor at sorted
+    distance k+1, reached with the 2-D roll-select shift (K <= LANES).
 
     Exact match length from the ne carry words (cap 4*ne bytes); the nf
     fingerprint words extend the RANKING reach to 4*ne*2^nf bytes —
@@ -198,15 +198,21 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
     as a 4*ne*2^(j+1)-byte match.  The EMITTED length is always the
     exact one, so fp collisions can only mis-rank, never corrupt."""
     nc = ne + nf
+    kc_ref, kp_ref = refs[0], refs[1]
+    meta_ref = refs[2 + 2 * nc]
+    out_ref = refs[3 + 2 * nc]
+    out2_ref = refs[4 + 2 * nc] if top2 else None
+    first = pl.program_id(1) == 0
     tkey = kc_ref[0, 0]                                # (SUB, LANES) u32
-    ukey = jnp.concatenate([kp_ref[0, 0, SUB - 1:, :], tkey[:-1, :]],
-                           axis=0)
+    ptail = kp_ref[0, 0, SUB - 1:, :]
+    ptail = jnp.where(first, SENTINEL, ptail)
+    ukey = jnp.concatenate([ptail, tkey[:-1, :]], axis=0)
     lane = _lane_iota(tkey.shape)
     tpos = (tkey & POS_MASK).astype(jnp.int32)
     tbucket = tkey >> POS_BITS
-    tw = [wc_ref[0, 0, t] for t in range(nc)]          # (SUB, LANES) each
-    uw = [jnp.concatenate([wp_ref[0, 0, t, SUB - 1:, :], tw[t][:-1, :]],
-                          axis=0) for t in range(nc)]
+    tw = [refs[2 + 2 * t][0, 0] for t in range(nc)]    # (SUB, LANES) each
+    uw = [jnp.concatenate([refs[3 + 2 * t][0, 0, SUB - 1:, :],
+                           tw[t][:-1, :]], axis=0) for t in range(nc)]
     min_src = meta_ref[0, 0, 0]
     limit = meta_ref[0, 0, 1]
     max_dist = meta_ref[0, 0, 2]
@@ -264,44 +270,45 @@ def _matcher_kernel(K: int, ne: int, nf: int, top2: bool,
 
 @functools.partial(jax.jit, static_argnames=("K", "ne", "nf", "top2",
                                              "interpret"))
-def _run_matcher(skey_t: jnp.ndarray, swords_t: jnp.ndarray,
-                 meta: jnp.ndarray, K: int, ne: int, nf: int,
-                 top2: bool = False, interpret: bool = False):
-    """skey_t (B, T+1, SUB, LANES), swords_t (B, T+1, ne+nf, SUB,
-    LANES): tiled sort results with a sentinel tile at index 0.
-    Returns (B, T*TILE) u32 best len<<16|dist per sorted row (a pair of
-    them when top2)."""
+def _run_matcher(skey_t: jnp.ndarray, swords: tuple, meta: jnp.ndarray,
+                 K: int, ne: int, nf: int, top2: bool = False,
+                 interpret: bool = False):
+    """skey_t (B, T, SUB, LANES) + swords = nc arrays of the same shape
+    (tiled sort results; free reshapes of the flat sorted operands).
+    Each operand is passed twice -- block t and block max(t-1, 0) -- so
+    the kernel assembles the halo in VMEM and tile 0 masks it to the
+    sentinel key (no sentinel tile, no halo concat, no tile-major
+    stack through HBM).  Returns (B, T*TILE) u32 best len<<16|dist per
+    sorted row (a pair of them when top2)."""
     assert K <= LANES
-    B, T1, _, _ = skey_t.shape
-    T = T1 - 1
+    B, T, _, _ = skey_t.shape
     nc = ne + nf
+    assert len(swords) == nc
     kern = functools.partial(_matcher_kernel, K, ne, nf, top2)
     ospec = pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, T, SUB, LANES), jnp.uint32)
-    wspec = pl.BlockSpec((1, 1, nc, SUB, LANES),
-                         lambda b, t: (b, t + 1, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    wspec_p = pl.BlockSpec((1, 1, nc, SUB, LANES),
-                           lambda b, t: (b, t, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    pair = [pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANES),
+                         lambda b, t: (b, jnp.maximum(t - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM)]
+    in_specs = list(pair)
+    operands = [skey_t, skey_t]
+    for w in swords:
+        in_specs += pair
+        operands += [w, w]
+    in_specs.append(pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
+                                 memory_space=pltpu.SMEM))
+    operands.append(meta[:, None, :])
     out = pl.pallas_call(
         kern,
         grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANES), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            wspec,
-            wspec_p,
-            pl.BlockSpec((1, 1, 4), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(ospec, ospec) if top2 else ospec,
         out_shape=(oshape, oshape) if top2 else oshape,
         interpret=interpret,
-    )(skey_t, skey_t, swords_t, swords_t, meta[:, None, :])
+    )(*operands)
     if top2:
         return out[0].reshape(B, T * TILE), out[1].reshape(B, T * TILE)
     return out.reshape(B, T * TILE)
@@ -328,16 +335,11 @@ def _candidate_pass(window, min_src_a, limit_a, *, K: int, nw: int,
     skey = sorted_ops[0]
     spos = (skey & POS_MASK).astype(jnp.int32)
 
-    # tile with a leading sentinel block (the "previous" of tile 0)
-    sent_k = jnp.full((B, 1, SUB, LANES), SENTINEL, jnp.uint32)
-    skey_t = jnp.concatenate(
-        [sent_k, skey.reshape(B, T, SUB, LANES)], axis=1)
-    # tile-major (B, T+1, nc, SUB, LANES): each sorted operand re-tiles
-    # as a pure (B, T, SUB, LANES) reshape + one contiguous stack
-    sw = jnp.stack([o.reshape(B, T, SUB, LANES) for o in sorted_ops[1:]],
-                   axis=2)
-    sent_w = jnp.zeros((B, 1, nc, SUB, LANES), jnp.uint32)
-    swords_t = jnp.concatenate([sent_w, sw], axis=1)
+    # contiguous (free) re-tile of each sorted operand; the matcher
+    # kernel reads block t-1 of the same arrays for the halo, so no
+    # sentinel tile or tile-major stack is materialized
+    skey_t = skey.reshape(B, T, SUB, LANES)
+    swords_t = tuple(o.reshape(B, T, SUB, LANES) for o in sorted_ops[1:])
 
     meta = jnp.stack([
         min_src_a, limit_a,
