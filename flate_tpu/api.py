@@ -49,7 +49,8 @@ class Compressor:
                  level: int = consts.LEVEL_DEFAULT,
                  meta: Optional[GzipMetadata] = None,
                  opts: Optional[CompressOptions] = None,
-                 dictionary: Optional[bytes] = None):
+                 dictionary: Optional[bytes] = None,
+                 device: bool = False):
         self._writer = writer
         self._container = container
         self._opts = opts or CompressOptions(level=level)
@@ -57,6 +58,7 @@ class Compressor:
         self._meta = meta
         self._dictionary = dictionary
         self._mode = "deflate"
+        self._device = device
         self._start()
 
     def _start(self) -> None:
@@ -66,8 +68,24 @@ class Compressor:
         # (v1 parity: v1/deflate/compressor.zig:205-224)
         self._context = bytes(self._dictionary or b"")
         self._finished = False
+        self._dev_enc = None
         self._writer.write(write_header(self._container, self._meta,
                                         self._dictionary))
+
+    def _enc(self):
+        """Lazy device encoder (jx.pipeline2.DeviceEncoder): created on
+        first device-path use so host-only callers never import jax."""
+        if self._dev_enc is None:
+            from .jx.pipeline2 import CTX, DeviceEncoder
+            o = self._opts
+            self._dev_enc = DeviceEncoder(
+                level=o.level, shard_len=o.shard_len,
+                ctx=o.ctx or CTX, batch=o.batch,
+                dictionary=self._dictionary, interpret=o.interpret)
+        return self._dev_enc
+
+    def _device_active(self) -> bool:
+        return self._device and self._mode == "deflate"
 
     # -- sub-mode constructors -------------------------------------------
     @classmethod
@@ -89,6 +107,16 @@ class Compressor:
         assert not self._finished, "write after finish"
         self._hasher.update(data)
         self._buf += data
+        if self._device_active():
+            # device path: encode whole batches (batch * shard_len) per
+            # dispatch; every shard stream ends with the sync marker so
+            # each write to the underlying writer is a decodable prefix
+            step = self._opts.batch * self._opts.shard_len
+            while len(self._buf) >= step:
+                chunk = bytes(self._buf[:step])
+                del self._buf[:step]
+                self._writer.write(self._enc().encode(chunk, final=False))
+            return len(data)
         # encode all complete shards, keep the remainder buffered.  The
         # streaming path always byte-syncs between shards so every write to
         # the underlying writer is a valid byte-aligned prefix.
@@ -129,12 +157,27 @@ class Compressor:
     def flush(self) -> None:
         """Byte-sync everything buffered so far (network-protocol flush)."""
         assert not self._finished, "flush after finish"
+        if self._device_active():
+            if self._buf:
+                chunk = bytes(self._buf)
+                self._buf.clear()
+                self._writer.write(self._enc().encode(chunk, final=False))
+            else:
+                sink = BitSink()
+                write_flush_marker(sink)
+                self._writer.write(sink.getvalue())
+            return
         self._encode_shard(len(self._buf), final=False, sync=True)
 
     def finish(self) -> None:
         """Emit the final block and the container footer."""
         assert not self._finished, "double finish"
-        self._encode_shard(len(self._buf), final=True, sync=False)
+        if self._device_active():
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._writer.write(self._enc().encode(chunk, final=True))
+        else:
+            self._encode_shard(len(self._buf), final=True, sync=False)
         self._writer.write(write_footer(self._container, self._hasher))
         self._finished = True
 
@@ -288,12 +331,23 @@ class Decompressor:
 # One-shot helpers + container-specialized namespaces
 # ---------------------------------------------------------------------------
 
+def _device_default() -> bool:
+    import os
+    return os.environ.get("FLATE_TPU_DEVICE", "0") == "1"
+
+
 def _compress_oneshot(data, writer, container: Container, level: int,
                       mode: str, meta: Optional[GzipMetadata],
                       opts: Optional[CompressOptions],
-                      dictionary: Optional[bytes] = None):
+                      dictionary: Optional[bytes] = None,
+                      device: Optional[bool] = None):
     from . import metrics
     raw = _to_bytes(data)
+    if device is None:
+        device = _device_default()
+    if device and mode == "deflate":
+        return _compress_oneshot_device(raw, writer, container, level,
+                                        meta, opts, dictionary)
     out = io.BytesIO() if writer is None else writer
     with metrics.timed(f"{container.name.lower()}.compress", len(raw),
                        level=level, mode=mode) as m:
@@ -311,6 +365,33 @@ def _compress_oneshot(data, writer, container: Container, level: int,
             m["bytes_out"] = len(blob)
             return blob
     return None
+
+
+def _compress_oneshot_device(raw: bytes, writer, container: Container,
+                             level: int, meta, opts, dictionary):
+    """One-shot through the v2 device pipeline (jx.pipeline2).
+
+    The plain case goes straight to compress_device2 — the production
+    path with the FLT1 shard index, device checksums, and pipelined
+    batch dispatch.  meta/dictionary members stream through the device
+    Compressor (compress_device2 writes its own header/index)."""
+    from .jx.pipeline2 import CTX, compress_device2
+    o = opts or CompressOptions(level=level)
+    if meta is None and dictionary is None:
+        blob = compress_device2(
+            raw, level=level, container=container,
+            shard_len=o.shard_len, ctx=o.ctx or CTX, batch=o.batch,
+            interpret=o.interpret)
+        if writer is None:
+            return blob
+        writer.write(blob)
+        return None
+    out = io.BytesIO() if writer is None else writer
+    c = Compressor(out, container, level=level, meta=meta, opts=o,
+                   dictionary=dictionary, device=True)
+    c.write(raw)
+    c.finish()
+    return out.getvalue() if writer is None else None
 
 
 def _decompress_oneshot(data, writer, container: Container,
@@ -334,18 +415,21 @@ def _decompress_oneshot(data, writer, container: Container,
 
 def _make_namespace(container: Container) -> SimpleNamespace:
     def compress(data, writer=None, level: int = consts.LEVEL_DEFAULT,
-                 meta=None, opts=None, dictionary=None):
+                 meta=None, opts=None, dictionary=None, device=None):
+        """device=True routes through the v2 TPU pipeline
+        (jx.pipeline2.compress_device2); device=None (default) consults
+        FLATE_TPU_DEVICE=1.  Host path otherwise."""
         return _compress_oneshot(data, writer, container, level, "deflate",
-                                 meta, opts, dictionary)
+                                 meta, opts, dictionary, device)
 
     def decompress(data, writer=None, verify: bool = True, dictionary=None):
         return _decompress_oneshot(data, writer, container, verify,
                                    dictionary)
 
     def compressor(writer, level: int = consts.LEVEL_DEFAULT, meta=None,
-                   opts=None, dictionary=None):
+                   opts=None, dictionary=None, device: bool = False):
         return Compressor(writer, container, level=level, meta=meta,
-                          opts=opts, dictionary=dictionary)
+                          opts=opts, dictionary=dictionary, device=device)
 
     def decompressor(reader, verify: bool = True, dictionary=None):
         return Decompressor(reader, container, verify, dictionary)

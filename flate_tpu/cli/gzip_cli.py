@@ -18,12 +18,11 @@ def main(argv=None) -> int:
 
     with open(args.file, "rb") as f:
         data = f.read()
-    if args.tpu:
-        from flate_tpu.jx.pipeline import compress_device
-        blob = compress_device(data, level=args.level)
-    else:
-        import flate_tpu as ft
-        blob = ft.gzip.compress(data, level=args.level)
+    import flate_tpu as ft
+    # --tpu forces the v2 device pipeline; otherwise FLATE_TPU_DEVICE=1
+    # selects it (api.py device routing)
+    blob = ft.gzip.compress(data, level=args.level,
+                            device=True if args.tpu else None)
     if args.stdout:
         sys.stdout.buffer.write(blob)
     else:

@@ -291,6 +291,10 @@ class CompressOptions:
     shard_len: int = consts.SHARD_LEN
     context: bool = True         # prime each shard with previous 32K
     sync_flush: bool = True      # byte-align shard boundaries (pigz-style)
+    # device-path knobs (api.py device=True -> jx.pipeline2)
+    ctx: int = 0                 # 0 = full 32 KiB DEFLATE window
+    batch: int = 64              # shards per device dispatch
+    interpret: bool = False      # Pallas interpret mode (tests)
 
 
 def deflate_tokens(data: bytes, opts: CompressOptions,

@@ -494,6 +494,93 @@ def _compress_device2_impl(data, level, container, shard_len, ctx, batch,
                      comp_lens, out, hasher)
 
 
+class DeviceEncoder:
+    """Stateful streaming device encoder producing raw DEFLATE bytes.
+
+    Feed `encode(chunk, final=...)` arbitrary byte chunks (shard-sized
+    or larger to amortize the device dispatch); each call returns the
+    spliced shard streams for that chunk.  Every shard stream ends with
+    the empty-stored sync marker (encode2.py trailer), so each call's
+    output is a byte-aligned, decodable prefix extension — the device
+    twin of the reference's flush contract (deflate.zig:325-337).  The
+    32 KiB match context is carried ON DEVICE between calls; a preset
+    dictionary primes it (v1 parity: v1/deflate/compressor.zig:205-224).
+
+    Backs the public streaming Compressor(device=True) (api.py) and the
+    one-shot device path."""
+
+    def __init__(self, level: int = consts.LEVEL_DEFAULT,
+                 shard_len: int = consts.SHARD_LEN, ctx: int = CTX,
+                 batch: int = 64, dictionary: bytes | None = None,
+                 interpret: bool = False):
+        if level not in LEVEL_KERNEL:
+            raise ValueError(f"invalid level {level}")
+        K, nw, lazy, max_lazy, K3, squeeze, blk = LEVEL_KERNEL[level]
+        blk = min(blk, shard_len)
+        while shard_len % blk:
+            blk //= 2
+        self._kern = dict(K=K, nw=nw, lazy=lazy, max_lazy=max_lazy, K3=K3,
+                          squeeze=squeeze, blk=blk, interpret=interpret)
+        self.S, self.ctx, self.batch = shard_len, ctx, batch
+        # host-side history tail (<= ctx bytes): the device carry inside
+        # a call pads the tail shard with zeros, so cross-CALL context
+        # must be rebuilt from the true byte history
+        self._tail = bytearray((dictionary or b"")[-ctx:])
+        self._finished = False
+        self.comp_lens: list = []    # per-shard compressed byte lengths
+        self.out_lens: list = []     # per-shard input byte lengths
+
+    def encode(self, data: bytes, final: bool = False) -> bytes:
+        """Encode `data` completely (padding the tail shard) and return
+        its deflate bytes.  final=True closes the stream."""
+        assert not self._finished, "encode after final"
+        self._finished = final
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n, S, batch, ctx = arr.size, self.S, self.batch, self.ctx
+        nshards = -(-n // S)
+        if final and nshards == 0:
+            nshards = 1
+        hist = len(self._tail)
+        ctx0 = np.zeros(ctx, dtype=np.uint8)
+        if hist:
+            ctx0[ctx - hist:] = np.frombuffer(self._tail, dtype=np.uint8)
+        ctx_dev = jnp.asarray(ctx0)
+        fetch = _ByteFetcher()
+        pieces = []
+        for base in range(0, nshards, batch):
+            nb = min(batch, nshards - base)
+            lo0 = base * S
+            shards_np = np.zeros((batch, S), dtype=np.uint8)
+            take_n = max(0, min(n - lo0, batch * S))
+            shards_np.reshape(-1)[:take_n] = arr[lo0:lo0 + take_n]
+            meta = np.zeros(3 * batch + 1, dtype=np.int32)
+            meta[:batch] = np.minimum(
+                ctx, hist + lo0 + np.arange(batch, dtype=np.int64) * S)
+            v = meta[batch:2 * batch]
+            for i in range(nb):
+                v[i] = max(0, min(S, n - (base + i) * S))
+            if final and base + nb == nshards:
+                meta[2 * batch + nb - 1] = 1
+            meta[3 * batch] = nb
+            shards_dev = jax.device_put(shards_np)
+            buf, meta_out = encode_batch_packed(
+                shards_dev, ctx_dev, jax.device_put(meta),
+                S=S, ctx=ctx, hash_kind=HASH_NONE, **self._kern)
+            kc = -(-ctx // S)
+            rows = shards_dev[max(0, batch - kc):].reshape(-1)
+            ctx_dev = jnp.concatenate([ctx_dev, rows])[-ctx:]
+            meta_np = np.asarray(meta_out)
+            pieces.append(fetch(buf, int(meta_np[0])).tobytes())
+            self.comp_lens.extend(
+                int(x) for x in meta_np[1:1 + nb])
+            self.out_lens.extend(int(v[i]) for i in range(nb))
+        if n >= ctx:
+            self._tail = bytearray(bytes(data[-ctx:]))
+        else:
+            self._tail = (self._tail + bytes(data))[-ctx:]
+        return b"".join(pieces)
+
+
 def _assemble(container, index, independent, nshards, S, n, comp_lens,
               out, hasher) -> bytes:
     if index and container is Container.GZIP and nshards <= 8000:
