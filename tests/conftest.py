@@ -30,6 +30,33 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 DATA = pathlib.Path(__file__).parent / "data"
 
+# ---------------------------------------------------------------------------
+# Suite tiering (VERDICT r4 Next #6): `pytest -m "not slow"` is the fast
+# tier — full host path + one device smoke per kernel family, < 5 min in
+# one process.  The files below are dominated by interpret-mode Pallas
+# or multi-MB corpora; tests/test_fast_smoke.py keeps a fast smoke for
+# every family whose full file is slow.  Measured single-file times are
+# recorded in STATUS.md.
+SLOW_FILES = {
+    "test_device_sizes.py", "test_pipeline2.py", "test_jx_inflate2.py",
+    "test_tokens.py", "test_roundtrip.py", "test_distributed.py",
+    "test_mesh2.py", "test_jx_encode2.py", "test_block_fixtures.py",
+    "test_jx.py", "test_sizes.py", "test_squeeze.py",
+    "test_decoder_fuzz_differential.py", "test_metrics.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: interpret-mode Pallas / multi-MB tests "
+        "(excluded from the fast tier: pytest -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 # XLA:CPU segfaults inside backend_compile_and_load when a BIG program
 # compiles late in a long one-process run (hundreds of accumulated
 # executables; observed at 83-98% across two full runs, always passing
