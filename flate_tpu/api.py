@@ -200,18 +200,31 @@ class Decompressor:
     Pull-based like the reference's Inflate iterator (inflate.zig:315-336
     + CircularBuffer.zig): with the native decoder present, `read(n)`
     decodes incrementally through a resumable 64K-history stream, so
-    decoded memory is O(64K) regardless of member size.  reset()
-    continues with the next concatenated stream in the same buffer.
+    decoded memory is O(64K) regardless of member size.  A file-like
+    source is consumed INCREMENTALLY — compressed bytes are pulled in
+    FETCH-sized chunks and the consumed prefix is dropped past TRIM, so
+    input memory is O(TRIM) regardless of file size (the reference
+    streams from any reader: inflate.zig:340-353).  reset() continues
+    with the next concatenated stream in the same source.
     """
 
     CHUNK = 1 << 16
+    FETCH = 1 << 20              # reader pull granularity
+    TRIM = 1 << 22               # drop consumed prefix beyond this
 
     def __init__(self, reader, container: Container = Container.RAW,
                  verify: bool = True, dictionary: Optional[bytes] = None):
-        self._data = _to_bytes(reader)
         self._container = container
         self._verify = verify
         self._dictionary = dictionary
+        if isinstance(reader, (bytes, bytearray, memoryview)):
+            self._src = None
+            self._data = bytes(reader)
+            self._eof = True
+        else:
+            self._src = reader
+            self._data = b""
+            self._eof = False
         self._pos = 0
         # whole-member fallback state (no native library)
         self._out: Optional[bytes] = None
@@ -221,16 +234,64 @@ class Decompressor:
         self._hasher: Optional[Hasher] = None
         self._member_done = False
 
+    # -- incremental input ------------------------------------------------
+    def _fetch(self, trim: bool = True) -> bool:
+        """Pull one chunk from the source; False at EOF."""
+        if self._eof:
+            return False
+        chunk = self._src.read(self.FETCH)
+        if not chunk:
+            self._eof = True
+            return False
+        if trim:
+            # never trim once end_bit is latched (footer parse):
+            # rebase shifts the cursor but not the latched end_bit
+            self._trim()
+        self._data = self._data + chunk
+        if self._stream is not None and not self._member_done:
+            # re-wrap: the stream must see the extended buffer
+            self._stream.rebase(self._data, 0)
+        return True
+
+    def _trim(self) -> None:
+        """Drop the consumed window prefix to bound input memory."""
+        if self._stream is not None and not self._member_done:
+            drop = self._stream.in_pos
+        else:
+            drop = self._pos
+        if drop >= self.TRIM:
+            self._data = self._data[drop:]
+            self._pos = max(0, self._pos - drop)
+            if self._stream is not None and not self._member_done:
+                self._stream.rebase(self._data, drop)
+
+    def _stream_read(self, n: int) -> bytes:
+        """stream.read with fetch-retry at resumable input exhaustion."""
+        while True:
+            chunk = self._stream.read(n, more_input=not self._eof)
+            if chunk or not self._stream.need_input:
+                return chunk
+            if not self._fetch():
+                # true EOF: final attempt errors on genuine truncation
+                return self._stream.read(n, more_input=False)
+
     def _start_member(self) -> bool:
         """Open a streaming decode of the member at self._pos.
         Returns False if the native streaming decoder is unavailable."""
         from . import native
         from .containers import parse_header
+        from .errors import EndOfStream
         if not native.inflate_available():
             return False
-        hdr, _meta = parse_header(
-            self._container, self._data[self._pos:],
-            allow_dict=self._dictionary is not None)
+        while True:
+            try:
+                hdr, _meta = parse_header(
+                    self._container, self._data[self._pos:],
+                    allow_dict=self._dictionary is not None)
+                break
+            except EndOfStream:
+                if not self._fetch():
+                    raise
         self._stream = native.InflateStream(
             self._data, (self._pos + hdr) * 8, self._dictionary)
         self._hasher = Hasher(self._container)
@@ -240,29 +301,43 @@ class Decompressor:
     def _finish_member(self) -> None:
         """Advance past the footer, verifying checksums."""
         from .containers import parse_footer
+        from .errors import EndOfStream
         end_byte = (self._stream.end_bit + 7) // 8
         if self._container is not Container.RAW:
             if self._verify:
-                consumed = parse_footer(
-                    self._container, self._data[end_byte:], self._hasher)
+                while True:
+                    try:
+                        consumed = parse_footer(
+                            self._container, self._data[end_byte:],
+                            self._hasher)
+                        break
+                    except EndOfStream:
+                        if not self._fetch(trim=False):
+                            raise
             else:
                 consumed = self._container.footer_size
-                if len(self._data) < end_byte + consumed:
-                    from .errors import EndOfStream
-                    raise EndOfStream()
+                while len(self._data) < end_byte + consumed:
+                    if not self._fetch(trim=False):
+                        raise EndOfStream()
             end_byte += consumed
         self._pos = end_byte
         self._member_done = True
 
     def read(self, n: int = -1) -> bytes:
+        from . import native
         if self._out is not None or self._stream is not None:
             pass
-        elif not self._start_member():
-            # fallback: whole-member decode via the spec path
+        elif not native.inflate_available():
+            # fallback: whole-member decode via the spec path (requires
+            # the complete member; a reader source is slurped)
+            while self._fetch(trim=False):
+                pass
             self._out, self._pos = decompress_member(
                 self._data, self._pos, self._container, self._verify,
                 self._dictionary)
             self._out_pos = 0
+        else:
+            self._start_member()
         if self._out is not None:
             if n < 0:
                 n = len(self._out) - self._out_pos
@@ -274,7 +349,7 @@ class Decompressor:
         if n < 0:
             parts = []
             while True:
-                c = self._stream.read(self.CHUNK)
+                c = self._stream_read(self.CHUNK)
                 if not c:
                     break
                 if self._verify:
@@ -284,7 +359,7 @@ class Decompressor:
                 parts.append(c)
             self._finish_member()
             return b"".join(parts)
-        chunk = self._stream.read(n)
+        chunk = self._stream_read(n)
         if self._verify:
             self._hasher.update(chunk)
         else:
@@ -315,13 +390,21 @@ class Decompressor:
         self._member_done = False
 
     def at_end(self) -> bool:
+        while self._pos >= len(self._data) and self._fetch():
+            pass
         return self._pos >= len(self._data)
 
     def set_reader(self, reader) -> None:
         """Resume with additional input (inflate.zig:283); works
-        mid-member — the active stream's cursor is rebased in place."""
+        mid-member — the active stream's cursor is rebased in place.
+        A file-like argument becomes the new pull source; bytes are
+        appended to the window directly."""
+        if not isinstance(reader, (bytes, bytearray, memoryview)):
+            self._src = reader
+            self._eof = False
+            return
         dropped = self._pos
-        self._data = self._data[self._pos:] + _to_bytes(reader)
+        self._data = self._data[self._pos:] + bytes(reader)
         self._pos = 0
         if self._stream is not None and not self._member_done:
             self._stream.rebase(self._data, dropped)
@@ -342,23 +425,40 @@ def _compress_oneshot(data, writer, container: Container, level: int,
                       dictionary: Optional[bytes] = None,
                       device: Optional[bool] = None):
     from . import metrics
-    raw = _to_bytes(data)
     if device is None:
         device = _device_default()
-    if device and mode == "deflate":
+    reader = None
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        raw = bytes(data)
+    else:
+        reader = data
+    if reader is None and device and mode == "deflate":
         return _compress_oneshot_device(raw, writer, container, level,
                                         meta, opts, dictionary)
     out = io.BytesIO() if writer is None else writer
-    with metrics.timed(f"{container.name.lower()}.compress", len(raw),
+    nbytes = 0 if reader is not None else len(raw)
+    with metrics.timed(f"{container.name.lower()}.compress", nbytes,
                        level=level, mode=mode) as m:
         if mode == "deflate":
             c = Compressor(out, container, level=level, meta=meta,
-                           opts=opts, dictionary=dictionary)
+                           opts=opts, dictionary=dictionary, device=device)
         elif mode == "huffman":
             c = Compressor.huffman_only(out, container, meta=meta)
         else:
             c = Compressor.store_only(out, container, meta=meta)
-        c.write(raw)
+        if reader is None:
+            c.write(raw)
+        else:
+            # O(chunk) input memory — the reference's only input I/O
+            # point is a shard-sized read (deflate.zig:304-321, :313);
+            # the device path pulls a whole dispatch batch per read
+            step = (c._opts.batch * c._opts.shard_len
+                    if c._device_active() else c._opts.shard_len)
+            while True:
+                chunk = reader.read(step)
+                if not chunk:
+                    break
+                c.write(chunk)
         c.finish()
         if writer is None:
             blob = out.getvalue()
@@ -397,6 +497,18 @@ def _compress_oneshot_device(raw: bytes, writer, container: Container,
 def _decompress_oneshot(data, writer, container: Container,
                         verify: bool = True, dictionary=None):
     from . import metrics
+    if not isinstance(data, (bytes, bytearray, memoryview)) \
+            and writer is not None:
+        # reader -> writer: fully streaming, O(64K) decode state +
+        # O(TRIM) input window (inflate.zig:340-353 parity)
+        with metrics.timed(f"{container.name.lower()}.decompress", 0):
+            d = Decompressor(data, container, verify, dictionary)
+            while True:
+                d.decompress(writer)
+                if d.at_end():
+                    break
+                d.reset()
+        return None
     raw = _to_bytes(data)
     with metrics.timed(f"{container.name.lower()}.decompress",
                        len(raw)) as m:

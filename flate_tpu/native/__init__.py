@@ -72,6 +72,14 @@ def _load(name: str):
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]
+                lib.inflate_stream_read2.restype = ctypes.c_int
+                lib.inflate_stream_read2.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]
+                lib.inflate_stream_in_pos.restype = ctypes.c_size_t
+                lib.inflate_stream_in_pos.argtypes = [ctypes.c_void_p]
                 lib.inflate_stream_end_bit.restype = ctypes.c_size_t
                 lib.inflate_stream_end_bit.argtypes = [ctypes.c_void_p]
                 lib.inflate_stream_done.restype = ctypes.c_int
@@ -371,6 +379,7 @@ class InflateStream:
         else:
             lib.inflate_stream_init(self._state, start_bit, None, 0)
         self._done = False
+        self.need_input = False
 
     @property
     def done(self) -> bool:
@@ -380,21 +389,36 @@ class InflateStream:
     def end_bit(self) -> int:
         return int(self._lib.inflate_stream_end_bit(self._state))
 
-    def read(self, n: int) -> bytes:
-        """Decode up to n more bytes; b'' iff the member is complete."""
+    def read(self, n: int, more_input: bool = False) -> bytes:
+        """Decode up to n more bytes; b'' iff the member is complete or
+        (with more_input=True) the buffer ran dry at a resumable point —
+        `need_input` distinguishes the two.  With more_input=True a
+        truncated buffer never errors: the cursor rewinds to the last
+        symbol boundary and the call repeats after the caller extends
+        the buffer (zlib Z_BUF_ERROR discipline)."""
+        self.need_input = False
         if self._done or n <= 0:
             return b""
         out = np.empty(n, dtype=np.uint8)
         written = ctypes.c_size_t(0)
         u8p = ctypes.POINTER(ctypes.c_ubyte)
-        rc = self._lib.inflate_stream_read(
+        rc = self._lib.inflate_stream_read2(
             self._state, self._data.ctypes.data_as(u8p), self._data_len,
+            1 if more_input else 0,
             out.ctypes.data_as(u8p), n, ctypes.byref(written))
         if rc == 0:
             self._done = True
+        elif rc == -3:
+            self.need_input = True
         elif rc != -2:
             raise _inflate_error(rc)()
         return out[:written.value].tobytes()
+
+    @property
+    def in_pos(self) -> int:
+        """Resume-point byte offset in the member buffer: bytes before
+        it are never re-read, so the caller may drop + rebase them."""
+        return int(self._lib.inflate_stream_in_pos(self._state))
 
     def rebase(self, data: bytes, dropped: int) -> None:
         """Swap the member buffer after `dropped` front bytes were cut

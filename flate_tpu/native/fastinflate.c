@@ -765,15 +765,26 @@ static size_t stream_copy_match(InfStream *st, uint64_t hist0,
     return w;
 }
 
-int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
-                        uint8_t *out, size_t out_cap,
-                        size_t *out_written) {
+/* more_input != 0: the caller can supply more member bytes later.  Any
+ * decode error then rolls the bit cursor back to the last symbol/stage
+ * checkpoint and returns STREAM_NEED — on the next call (same state,
+ * longer buffer) decoding resumes exactly there.  Truncation is only
+ * an error once the caller passes more_input = 0 (zlib's Z_BUF_ERROR
+ * discipline; reference analogue: inflate.zig:283 setReader). */
+#define STREAM_NEED (-3)
+
+int inflate_stream_read2(InfStream *st, const uint8_t *in, size_t in_len,
+                         int more_input, uint8_t *out, size_t out_cap,
+                         size_t *out_written) {
     size_t w = 0;
     BitReader br;
     st_load(st, in, in_len, &br);
+    BitReader chk = br;                /* rollback point for STREAM_NEED */
+    size_t w_chk = 0;
     uint64_t hist0 = st->total_hist;   /* ring is folded lazily at exit */
     int rc = 0;
     for (;;) {
+        chk = br; w_chk = w;           /* stage boundary: state consistent */
         if (st->stage == 3) { rc = 0; break; }
         if (st->mlen_left) {                       /* resume match copy */
             w = stream_copy_match(st, hist0, out, w, out_cap);
@@ -791,7 +802,9 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
                 if (w >= out_cap) { rc = STREAM_MORE; goto done; }
                 size_t n = st->stored_left;
                 if (n > out_cap - w) n = out_cap - w;
-                if (br.pos >= br.in_len) { rc = ERR_EOS; goto done; }
+                if (br.pos >= br.in_len) {
+                    chk = br; w_chk = w; rc = ERR_EOS; goto done;
+                }
                 if (n > br.in_len - br.pos) n = br.in_len - br.pos;
                 memcpy(out + w, br.in + br.pos, n);
                 w += n;
@@ -897,6 +910,7 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
             }
             /* checked path (stream tail / tight budgets) */
             if (w >= out_cap) { rc = STREAM_MORE; goto done; }
+            chk = br; w_chk = w;      /* symbol boundary checkpoint */
             uint32_t peek = br_peek(&br, 15);
             uint32_t e = tbl2_find(st->t.ll1, st->t.ll_sub, peek);
             if (!e) { rc = ERR_CODE; goto done; }
@@ -938,6 +952,17 @@ int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
 block_end:;
     }
 done:
+    if (rc > 0 && w == w_chk && (more_input || rc == ERR_EOS)) {
+        /* partial input, not corruption (yet): rewind to the last
+         * consistent boundary; stage/bfinal/tables re-derive on the
+         * retry because the stage field only advances on success.
+         * w == w_chk guards the fast path: its errors (>= 48 real
+         * bits) are genuine, and output may exist past the checkpoint.
+         * ERR_EOS rewinds even in strict mode so a setReader resume
+         * (inflate.zig:283) continues from a consistent state. */
+        br = chk;
+        if (more_input) rc = STREAM_NEED;
+    }
     /* fold this call's output tail into the 64K history ring */
     {
         size_t keep = w < (size_t)(1 << 16) ? w : (size_t)(1 << 16);
@@ -949,6 +974,18 @@ done:
     *out_written = w;
     return rc;
 }
+
+int inflate_stream_read(InfStream *st, const uint8_t *in, size_t in_len,
+                        uint8_t *out, size_t out_cap,
+                        size_t *out_written) {
+    return inflate_stream_read2(st, in, in_len, 0, out, out_cap,
+                                out_written);
+}
+
+/* resume-point byte offset into the member buffer: bytes before this
+ * are never re-read (the accumulator snapshot carries their bits), so
+ * the caller may drop them and rebase */
+size_t inflate_stream_in_pos(const InfStream *st) { return st->pos; }
 
 /* Rebase the stream's input cursor after the caller drops `delta` bytes
  * from the front of the member buffer (setReader support). */
