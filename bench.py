@@ -292,6 +292,49 @@ def sec_inflate() -> dict:
     return res
 
 
+def _devicetime_decode(blob: bytes, nshards: int = 32) -> dict:
+    """Pure device-side decode GB/s: one packed coded run timed with a
+    one-element sync, so the ~40 MB/s tunnel does not pollute the
+    design metric (STATUS r4: 'device-side GB/s is the number that
+    reflects the design; record both')."""
+    import jax as _jax
+    import numpy as _np
+    from flate_tpu.containers import Container, parse_header
+    from flate_tpu.jx import inflate2
+    hdr_len, meta = parse_header(Container.GZIP, blob)
+    comp_lens, out_lens, _fl = inflate2.parse_index_extra(meta.extra)
+    starts = hdr_len + _np.concatenate([[0], _np.cumsum(comp_lens)[:-1]])
+    plans = []
+    for j in range(len(comp_lens)):
+        if len(plans) >= nshards:
+            break
+        sh = blob[starts[j]:starts[j] + int(comp_lens[j])]
+        p = inflate2.plan_shard(sh, int(out_lens[j]))
+        if p.kind == "coded":
+            plans.append((p, sh))
+    S = max(-(-int(out_lens.max()) // 1024) * 1024, 1024)
+    args = inflate2.pack_coded_run(plans, b"")
+
+    def once():
+        return inflate2.decode_batch2(*args, S=S, NS=S + 128)
+
+    def sync(r):
+        for leaf in _jax.tree_util.tree_leaves(r):
+            _np.asarray(leaf.reshape(-1)[:1])
+
+    sync(once())
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = once()
+    sync(r)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    nbytes = sum(p.out_len for p, _ in plans)
+    return {"device_ms_per_batch": round(ms, 2),
+            "batch_shards": len(plans), "batch_bytes": nbytes,
+            "gbps_device": round(nbytes / ms / 1e6, 4)}
+
+
 def sec_device_inflate() -> dict:
     # 16 MiB: the device decode paths are measured per-byte, and the
     # section must FIT the budget — r3 crashed here, r4 never reached
@@ -307,6 +350,12 @@ def sec_device_inflate() -> dict:
     res["device_indexed"] = {
         "gbps": round(len(data) / best_s / 1e9, 4),
         "stddev_s": round(sd, 4), "out_bytes": len(data)}
+    try:
+        ind = dev_compress(data, level=LEVEL, independent=True)
+        res["device_indexed"]["devicetime"] = _devicetime_decode(ind)
+    except Exception as e:
+        res["device_indexed"]["devicetime_error"] = \
+            f"{type(e).__name__}: {e}"[:200]
     # arbitrary unindexed gzip (zlib-produced — the north-star shape)
     try:
         if _section_budget() < 120:

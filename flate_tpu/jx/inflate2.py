@@ -741,6 +741,36 @@ def decompress_member_device(data: bytes, offset: int,
             interpret, verify, entries=entries)
 
 
+def pack_coded_run(plans_run, hist: bytes):
+    """Pack a member-consecutive run of coded shard plans into the
+    decode_batch(2) argument tuple: padded comp grid, per-row meta,
+    Moffat–Turpin threshold scalars, and the shared 32 KiB context.
+    Used by the indexed decode loop and the bench's device-time probe."""
+    cmax = _bucket(max(len(sh) for _, sh in plans_run))
+    Bc = len(plans_run)
+    comp_a = np.zeros((Bc, cmax), np.uint8)
+    meta = np.zeros((Bc, 3), np.int32)
+    sc = {k2: np.zeros((Bc, 16), np.uint32) for k2 in ("lll", "lld")}
+    kb = {k2: np.zeros((Bc, 16), np.int32) for k2 in ("lll", "lld")}
+    sy_ll = np.zeros((Bc, 288), np.int32)
+    sy_d = np.zeros((Bc, 32), np.int32)
+    for bi, (p2, sh2) in enumerate(plans_run):
+        comp_a[bi, :len(sh2)] = np.frombuffer(sh2, np.uint8)
+        meta[bi] = (len(sh2), p2.start_bit, p2.out_len)
+        sc["lll"][bi], kb["lll"][bi], sy_ll[bi] = p2.ll
+        sc["lld"][bi], kb["lld"][bi], sy_d[bi] = p2.d
+    ctx0 = np.zeros(CTX, np.uint8)
+    if hist:
+        ctx0[CTX - len(hist):] = np.frombuffer(hist, np.uint8)
+    return (jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
+            jnp.asarray(meta[:, 1]),
+            jnp.asarray(sc["lll"]), jnp.asarray(kb["lll"]),
+            jnp.asarray(sy_ll),
+            jnp.asarray(sc["lld"]), jnp.asarray(kb["lld"]),
+            jnp.asarray(sy_d),
+            jnp.asarray(meta[:, 2]), jnp.asarray(ctx0))
+
+
 def _decompress_member_indexed(data: bytes, offset: int,
                                container: Container,
                                batch: int, interpret: bool,
@@ -797,35 +827,12 @@ def _decompress_member_indexed(data: bytes, offset: int,
             while k < nb and plans[k][0].kind == "coded":
                 k += 1
             run = list(range(j, k))
-            cmax = _bucket(max(len(plans[jj][1]) for jj in run))
-            Bc = len(run)
-            comp_a = np.zeros((Bc, cmax), np.uint8)
-            meta = np.zeros((Bc, 3), np.int32)
-            sc = {k2: np.zeros((Bc, 16), np.uint32) for k2 in ("lll", "lld")}
-            kb = {k2: np.zeros((Bc, 16), np.int32) for k2 in ("lll", "lld")}
-            sy_ll = np.zeros((Bc, 288), np.int32)
-            sy_d = np.zeros((Bc, 32), np.int32)
-            for bi, jj in enumerate(run):
-                p2, sh2 = plans[jj]
-                comp_a[bi, :len(sh2)] = np.frombuffer(sh2, np.uint8)
-                meta[bi] = (len(sh2), p2.start_bit, p2.out_len)
-                sc["lll"][bi], kb["lll"][bi], sy_ll[bi] = p2.ll
-                sc["lld"][bi], kb["lld"][bi], sy_d[bi] = p2.d
-            ctx0 = np.zeros(CTX, np.uint8)
-            hist = bytes(out[-CTX:])
-            if hist:
-                ctx0[CTX - len(hist):] = np.frombuffer(hist, np.uint8)
-            args = (jnp.asarray(comp_a), jnp.asarray(meta[:, 0]),
-                    jnp.asarray(meta[:, 1]),
-                    jnp.asarray(sc["lll"]), jnp.asarray(kb["lll"]),
-                    jnp.asarray(sy_ll),
-                    jnp.asarray(sc["lld"]), jnp.asarray(kb["lld"]),
-                    jnp.asarray(sy_d),
-                    jnp.asarray(meta[:, 2]), jnp.asarray(ctx0))
+            args = pack_coded_run([plans[jj] for jj in run],
+                                  bytes(out[-CTX:]))
             if _WALK_MODE == "serial":
                 dev_out, err, _ = decode_batch(
                     *args, S=S, NS=NS, interpret=interpret)
-                spec_np = np.zeros(Bc, bool)
+                spec_np = np.zeros(len(run), bool)
                 err_np = np.asarray(err)
             else:
                 dev_out, err, _, spec_fail = decode_batch2(
@@ -849,7 +856,7 @@ def _decompress_member_indexed(data: bytes, offset: int,
                     hasher.update(r)
                 j = k
                 continue
-            out_np = np.asarray(dev_out).reshape(Bc, S)
+            out_np = np.asarray(dev_out).reshape(len(run), S)
             if err_np.any():
                 # a coded-first shard with MORE blocks after its first
                 # EOB (segmented) decodes short and poisons in-batch

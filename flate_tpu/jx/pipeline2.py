@@ -147,13 +147,22 @@ def _parse_stage(mlen: jnp.ndarray, mdist: jnp.ndarray, *, lazy: bool,
     return take, starts, mlen, mdist
 
 
-@functools.partial(jax.jit, static_argnames=("blk",))
+# grid_only squeeze: every DP option reads a dynamic-scalar ring column
+# instead of a per-lane one-hot over the (L, WIN) ring (squeeze.py:96-
+# 101); matches quantize DOWN to the nearest grid length.  Chip A/B
+# knob (r4 profile: squeeze 24.9 ms of 101.8).
+SQUEEZE_GRID_ONLY = os.environ.get("FLATE_TPU_SQUEEZE_GRID") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "grid_only"))
 def _squeeze_stage(window_tail, m_r, d_r, take_r, starts_r, valid_lens,
-                   blk: int = prs.PARSE_BLK):
+                   blk: int = prs.PARSE_BLK,
+                   grid_only: bool = SQUEEZE_GRID_ONLY):
     ll_bits, d_bits = sq.greedy_code_lengths(
         window_tail, m_r, d_r, starts_r, take_r, valid_lens)
     take2, starts2, sel = sq.squeeze_parse(
-        window_tail, m_r, d_r, ll_bits, d_bits, blk=blk)
+        window_tail, m_r, d_r, ll_bits, d_bits, blk=blk,
+        grid_only=grid_only)
     return take2, starts2, jnp.where(take2, sel, 0)
 
 
