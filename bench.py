@@ -185,6 +185,7 @@ def sec_headline() -> dict:
         "level": LEVEL,
         "pipeline": PIPE,
     }
+    print(json.dumps(out), flush=True)     # snapshot before the profile
     if os.environ.get("BENCH_PROFILE", "1") != "0" and PIPE == "v2" \
             and _section_budget() > 60:
         # default ON: the official record must carry per-stage numbers
@@ -229,6 +230,8 @@ def sec_ladder() -> dict:
             }
         except Exception as e:  # pragma: no cover
             lad[str(lv)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({"ladder": lad, "ladder_bytes": len(data)}),
+              flush=True)                  # per-level snapshot
     # size-vs-zlib on NON-self-referential corpora (text + mixed) so the
     # "beats zlib" claim is not limited to the repo-source corpus
     sizes = {}
@@ -273,6 +276,7 @@ def sec_inflate() -> dict:
     res = {"inflate": dec, "decode_gbps_host": dec["srctar"]["gbps"],
            "inflate_vs_baseline": round(
                dec["srctar"]["gbps"] / BASELINE_DEC_GBPS, 3)}
+    print(json.dumps(res), flush=True)     # host numbers are safe now
     # thread-parallel host decode of an independent indexed member
     try:
         if PIPE == "v2" and _section_budget() > 180:
@@ -350,6 +354,7 @@ def sec_device_inflate() -> dict:
     res["device_indexed"] = {
         "gbps": round(len(data) / best_s / 1e9, 4),
         "stddev_s": round(sd, 4), "out_bytes": len(data)}
+    print(json.dumps(res), flush=True)     # snapshot
     try:
         ind = dev_compress(data, level=LEVEL, independent=True)
         res["device_indexed"]["devicetime"] = _devicetime_decode(ind)
@@ -491,6 +496,18 @@ def run_section(name: str, budget: float) -> dict:
     env = dict(os.environ)
     env.setdefault("FLATE_TPU_CACHE", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    def _last_json(out) -> dict | None:
+        if not out:
+            return None
+        txt = out.decode() if isinstance(out, bytes) else out
+        lines = [ln for ln in txt.splitlines() if ln.startswith("{")]
+        if not lines:
+            return None
+        try:
+            return json.loads(lines[-1])
+        except ValueError:
+            return None
+
     for attempt in (1, 2):
         t0 = time.time()
         try:
@@ -499,13 +516,21 @@ def run_section(name: str, budget: float) -> dict:
                  "--section", name],
                 capture_output=True, timeout=max(30, budget), env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-            lines = [ln for ln in p.stdout.decode().splitlines()
-                     if ln.startswith("{")]
-            if p.returncode == 0 and lines:
-                return json.loads(lines[-1])
+            got = _last_json(p.stdout)
+            if p.returncode == 0 and got is not None:
+                return got
             err = (p.stderr.decode()[-400:] or
                    f"rc={p.returncode}, no JSON")
-        except subprocess.TimeoutExpired:
+            if got is not None:    # crashed after a snapshot: keep it
+                got[f"{name}_error"] = err[:300]
+                return got
+        except subprocess.TimeoutExpired as e:
+            # salvage the section's last printed snapshot (sections
+            # print intermediate JSON lines as sub-parts finish)
+            got = _last_json(e.stdout)
+            if got is not None:
+                got[f"{name}_error"] = f"timeout after {budget:.0f}s"
+                return got
             return {"error": f"timeout after {budget:.0f}s",
                     "section": name}
         except Exception as e:  # pragma: no cover
@@ -522,6 +547,22 @@ def run_section(name: str, budget: float) -> dict:
 SECTION_FNS = {"headline": sec_headline, "compile_warm": sec_compile_warm,
                "ladder": sec_ladder, "inflate": sec_inflate,
                "device_inflate": sec_device_inflate}
+
+_PROBE_SRC = ("import jax, numpy as np; "
+              "d = jax.device_put(np.zeros(1 << 20, np.uint8)); "
+              "np.asarray(d[:1]); print('OK')")
+
+
+def tunnel_probe(timeout_s: float = 90) -> bool:
+    """A 1 MiB device round-trip with a hard timeout: the axon tunnel
+    sometimes wedges (transfers hang with devices still enumerable),
+    which would otherwise burn every device section's full budget."""
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, timeout=timeout_s)
+        return b"OK" in p.stdout
+    except Exception:
+        return False
 
 
 def main() -> None:
@@ -541,6 +582,15 @@ def main() -> None:
             if not (n == "ladder" and LADDER == "none")
             and not (n == "device_inflate"
                      and os.environ.get("BENCH_DEV_INFLATE", "1") == "0")]
+    detail["tunnel_ok"] = tunnel_probe()
+    if not detail["tunnel_ok"]:
+        # host-only sections first; device sections still get a (short)
+        # chance in case the tunnel heals mid-run
+        plan.sort(key=lambda n: n != "inflate")
+        for n in ("headline", "device_inflate"):
+            SOFT_BUDGET[n] = 420
+        SOFT_BUDGET["compile_warm"] = 120
+    emit(detail, final=False)
     for name in plan:
         left = _left()
         if left < MIN_REQUIRED[name] + 30:
