@@ -1,5 +1,8 @@
 """gunzip CLI: `python -m flate_tpu.cli.gunzip_cli <file.gz>` -> <file>
 (equivalent of the reference bin/gunzip.zig).
+
+Streams reader -> writer in bounded memory (O(64K) decode state +
+a bounded compressed window), so arbitrarily large files never slurp.
 """
 
 import argparse
@@ -14,16 +17,18 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import flate_tpu as ft
-    with open(args.file, "rb") as f:
-        blob = f.read()
-    data = ft.gzip.decompress(blob)
     if args.stdout:
-        sys.stdout.buffer.write(data)
+        out, close = sys.stdout.buffer, False
     else:
-        out = args.output or (args.file[:-3] if args.file.endswith(".gz")
-                              else args.file + ".out")
-        with open(out, "wb") as f:
-            f.write(data)
+        path = args.output or (args.file[:-3] if args.file.endswith(".gz")
+                               else args.file + ".out")
+        out, close = open(path, "wb"), True
+    try:
+        with open(args.file, "rb") as f:
+            ft.gzip.decompress(f, writer=out)
+    finally:
+        if close:
+            out.close()
     return 0
 
 

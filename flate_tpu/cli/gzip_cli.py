@@ -16,19 +16,27 @@ def main(argv=None) -> int:
     ap.add_argument("-c", "--stdout", action="store_true")
     args = ap.parse_args(argv)
 
-    with open(args.file, "rb") as f:
-        data = f.read()
     import flate_tpu as ft
-    # --tpu forces the v2 device pipeline; otherwise FLATE_TPU_DEVICE=1
-    # selects it (api.py device routing)
-    blob = ft.gzip.compress(data, level=args.level,
-                            device=True if args.tpu else None)
     if args.stdout:
-        sys.stdout.buffer.write(blob)
+        out, close = sys.stdout.buffer, False
     else:
-        out = args.output or args.file + ".gz"
-        with open(out, "wb") as f:
-            f.write(blob)
+        out = open(args.output or args.file + ".gz", "wb")
+        close = True
+    try:
+        if args.tpu:
+            # v2 device pipeline via the public API; bytes input keeps
+            # the FLT1 shard index for device-parallel decode
+            with open(args.file, "rb") as f:
+                ft.gzip.compress(f.read(), writer=out, level=args.level,
+                                 device=True)
+        else:
+            # reader -> writer streams in O(shard) memory;
+            # FLATE_TPU_DEVICE=1 still routes to the device engine
+            with open(args.file, "rb") as f:
+                ft.gzip.compress(f, writer=out, level=args.level)
+    finally:
+        if close:
+            out.close()
     return 0
 
 

@@ -120,9 +120,10 @@ def test_cli_tpu_uses_v2(tmp_path, data, monkeypatch):
     seen = {}
     orig = ft.gzip.compress
 
-    def spy(d, level=6, device=None, **kw):
+    def spy(d, level=6, device=None, writer=None, **kw):
         seen["device"] = device
-        return orig(d, level=level, device=True, opts=_opts())
+        return orig(d, level=level, device=True, opts=_opts(),
+                    writer=writer)
 
     monkeypatch.setattr(ft.gzip, "compress", spy)
     p = tmp_path / "f.bin"

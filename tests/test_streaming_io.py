@@ -91,6 +91,54 @@ def test_decompress_reader_zlib_and_raw(rfc_text):
         assert out.getvalue() == data
 
 
+def test_stream_resume_every_byte_boundary(rfc_text):
+    """Drive the native InflateStream directly with the buffer extended
+    ONE byte at a time (more_input=True): the checkpoint/rollback must
+    resume exactly at every mid-header/mid-symbol exhaustion point."""
+    from flate_tpu import native
+    if not native.inflate_available():
+        pytest.skip("no native decoder")
+    data = rfc_text[: 1 << 14]
+    raw = zlib.compress(data, 9)[2:-4]
+    st = native.InflateStream(raw[:1], 0)
+    out = bytearray()
+    have = 1
+    while not st.done:
+        chunk = st.read(4096, more_input=have < len(raw))
+        out += chunk
+        if chunk:
+            continue
+        if st.need_input:
+            have += 1
+            st.rebase(raw[:have], 0)
+        elif not st.done:
+            raise AssertionError("stalled without need_input")
+    assert bytes(out) == data
+
+
+def test_stream_resume_random_chunks(rfc_text):
+    """Randomized extension sizes + random read budgets, vs zlib."""
+    import random
+    from flate_tpu import native
+    if not native.inflate_available():
+        pytest.skip("no native decoder")
+    rng = random.Random(7)
+    data = rfc_text[: 1 << 15]
+    raw = zlib.compress(data, 6)[2:-4]
+    for _ in range(10):
+        have = 1
+        st = native.InflateStream(raw[:1], 0)
+        out = bytearray()
+        while not st.done:
+            chunk = st.read(rng.randrange(1, 700),
+                            more_input=have < len(raw))
+            out += chunk
+            if not chunk and st.need_input:
+                have = min(len(raw), have + rng.randrange(1, 97))
+                st.rebase(raw[:have], 0)
+        assert bytes(out) == data
+
+
 class _NullWriter:
     def __init__(self):
         self.n = 0
