@@ -88,17 +88,71 @@ def profile_encode(level_cfg, grid_only, batch=64, label=""):
     return prof
 
 
+def profile_matcher_pieces(batch=64, K=48, nw=8, interpret=False):
+    """Sub-stage breakdown of _candidate_pass: prep / carried sort /
+    matcher kernel / unsort / small-dist runs / chain extension."""
+    from flate_tpu.jx import match2, runs
+    S, ctx = consts.SHARD_LEN, pp.CTX
+    data = corpus(batch * S)
+    sh = jnp.asarray(np.frombuffer(data, np.uint8).reshape(batch, S))
+    win = pp._prime_windows(sh, jnp.zeros(ctx, jnp.uint8), ctx=ctx)
+    B, W = win.shape
+    cl = jnp.asarray(np.full(batch, ctx, np.int32))
+    vl = jnp.asarray(np.full(batch, S, np.int32))
+    ne, nf = match2._split_words(nw, False)
+    key, words_t = match2._prep(win, ne, nf, 4, interpret=interpret)
+    nc = ne + nf
+    T = -(-W // match2.TILE)
+    Wp = T * match2.TILE
+    words_flat = [words_t[:, :, t].reshape(B, Wp) for t in range(nc)]
+    sortf = jax.jit(lambda k, *o: jax.lax.sort([k, *o], dimension=1,
+                                               num_keys=1))
+    sorted_ops = sortf(key, *words_flat)
+    skey = sorted_ops[0]
+    spos = (skey & match2.POS_MASK).astype(jnp.int32)
+    skey_t = skey.reshape(B, T, match2.SUB, match2.LANES)
+    swords_t = tuple(o.reshape(B, T, match2.SUB, match2.LANES)
+                     for o in sorted_ops[1:])
+    meta = jnp.stack([
+        (ctx - cl).astype(jnp.int32), (ctx + vl).astype(jnp.int32),
+        jnp.full((B,), consts.MAX_DISTANCE, jnp.int32),
+        jnp.zeros((B,), jnp.int32)], axis=1)
+    best = match2._run_matcher(skey_t, swords_t, meta, K, ne, nf,
+                               interpret=interpret)
+    unsortf = jax.jit(lambda p, b: jax.lax.sort([p, b], dimension=1,
+                                                num_keys=1))
+    limit = (ctx + vl).astype(jnp.int32)
+    min_src = (ctx - cl).astype(jnp.int32)
+    mlen = (best[:, :W] >> 16).astype(jnp.int32)
+    mdist = (best[:, :W] & 0xFFFF).astype(jnp.int32)
+    prof = {
+        "prep_ms": sync_ms(lambda: match2._prep(win, ne, nf, 4,
+                                                interpret=interpret)),
+        "sort_ms": sync_ms(lambda: sortf(key, *words_flat)),
+        "matcher_ms": sync_ms(lambda: match2._run_matcher(
+            skey_t, swords_t, meta, K, ne, nf, interpret=interpret)),
+        "unsort_ms": sync_ms(lambda: unsortf(
+            spos.astype(jnp.uint32), best)),
+        "runs_ms": sync_ms(lambda: runs.small_dist_runs(
+            win, limit, min_src, interpret=interpret)),
+        "extend_ms": sync_ms(lambda: runs.extend_chains(
+            mlen, mdist, limit, cap=4 * ne, interpret=interpret)),
+    }
+    print("matcher pieces:", prof, flush=True)
+    return prof
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
-    base = (48, 8, True, 32, 0, True, 1024)
-    nw4 = (48, 4, True, 32, 0, True, 1024)
     try:
-        profile_encode(base, False, label="base_48_8")
+        profile_matcher_pieces()
     except Exception as e:
-        print("base failed:", type(e).__name__, str(e)[:200], flush=True)
-    for cfg, go, label in ((base, True, "gridonly"),
-                           (nw4, False, "nw4"),
-                           (nw4, True, "nw4_gridonly")):
+        print("pieces failed:", type(e).__name__, str(e)[:200], flush=True)
+    base = (48, 8, True, 32, 0, True, 1024)
+    # nw/fp payload reductions were size-REJECTED (tools/size_ablation
+    # r5: nw4 text 1.0083, fp4 1.0041) — only grid_only is in play
+    for cfg, go, label in ((base, False, "base_48_8"),
+                           (base, True, "gridonly")):
         try:
             profile_encode(cfg, go, label=label)
         except Exception as e:
