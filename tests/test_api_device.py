@@ -114,6 +114,19 @@ def test_device_empty_and_tiny():
         ft.gzip.compress(b"x", device=True, opts=_opts())) == b"x"
 
 
+def test_env_routes_to_device(data, monkeypatch):
+    """FLATE_TPU_DEVICE=1 makes the device engine the default;
+    device=False still forces the host path."""
+    monkeypatch.setenv("FLATE_TPU_DEVICE", "1")
+    blob_env = ft.gzip.compress(data, level=6, opts=_opts())
+    blob_dev = compress_device2(data, level=6, shard_len=S, ctx=512,
+                                batch=3, interpret=True)
+    assert blob_env == blob_dev
+    blob_host = ft.gzip.compress(data, level=6, device=False)
+    assert blob_host != blob_dev        # host tokenizer, no FLT1 index
+    assert pygz.decompress(blob_host) == data
+
+
 def test_cli_tpu_uses_v2(tmp_path, data, monkeypatch):
     """gzip_cli --tpu must run the v2 pipeline (r4 Weak #6)."""
     import flate_tpu.cli.gzip_cli as cli
