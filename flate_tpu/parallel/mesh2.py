@@ -63,8 +63,9 @@ def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
     (jx/checksum GF(2) kernels) and the host combines in stream order,
     so no host ever hashes (or needs to hold) the full input."""
 
-    def body(shards, ctx0, ctx_lens, valid, finals):
+    def body(shards, ctx0, ctx_lens, valid, finals, nb):
         # local rows: (B/ndev, S)
+        Bl = shards.shape[0]
         tails = shards[:, S - ctx:]
         prev = jnp.concatenate(
             [jnp.zeros((1, ctx), shards.dtype), tails[:-1]], axis=0)
@@ -85,12 +86,28 @@ def _mesh_encode_fn(mesh: Mesh, axis: str, ndev: int, *, S: int, ctx: int,
         else:
             h = jnp.stack([checksum._crc32_rows_any(shards),
                            jnp.zeros(shards.shape[0], jnp.uint32)], axis=1)
-        return words, tbits, kind, h
+        # per-device stream compaction (the single-device packed seam,
+        # SPMD): each device splices its LOCAL shard streams so its
+        # host fetches exact bytes + a small meta row, never the
+        # padded word grid.  Global row index bounds live rows.
+        grow = idx * Bl + jnp.arange(Bl, dtype=jnp.int32)
+        live = grow < nb
+        blens = jnp.where(live, tbits // 8, 0)
+        offs = jnp.cumsum(blens) - blens
+        total = offs[Bl - 1] + blens[Bl - 1]
+        byts = pipeline2._words_to_bytes(words)
+        L = byts.shape[1]
+        buf = jnp.zeros((Bl * L,), jnp.uint8)
+        for i in range(Bl):
+            buf = jax.lax.dynamic_update_slice(buf, byts[i], (offs[i],))
+        meta_out = jnp.concatenate(
+            [total[None].astype(jnp.int32), blens.astype(jnp.int32)])
+        return buf[None, :], meta_out[None, :], h
 
     mapped = _shard_map(
         body, mesh,
-        in_specs=(P(axis, None), P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis, None, None), P(axis), P(axis), P(axis, None)))
+        in_specs=(P(axis, None), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)))
     return jax.jit(mapped)
 
 
@@ -154,30 +171,39 @@ def compress_mesh2(data: bytes, mesh: Mesh | None = None,
         finals = np.zeros(batch, dtype=np.int32)
         if base_shard + nb == nshards:
             finals[nb - 1] = 1
-        words, tbits, _kind, h = enc(
+        buf, meta, h = enc(
             jax.device_put(jnp.asarray(shards_np), spec_row),
             jax.device_put(jnp.asarray(ctx0), spec_rep),
             jax.device_put(jnp.asarray(ctx_lens), spec_1d),
             jax.device_put(jnp.asarray(valid), spec_1d),
-            jax.device_put(jnp.asarray(finals), spec_1d))
-        return nb, words, tbits, h, valid
+            jax.device_put(jnp.asarray(finals), spec_1d),
+            jax.device_put(jnp.asarray(np.int32(nb)), spec_rep))
+        try:
+            meta.copy_to_host_async()
+        except AttributeError:
+            pass
+        return nb, buf, meta, h, valid
 
     out = bytearray()
     comp_lens: list = []
-    fetch = pipeline2._Fetcher()
+    Bl = batch // ndev
+    fetchers = [pipeline2._ByteFetcher() for _ in range(ndev)]
     bases = list(range(0, nshards, batch))
     inflight = dispatch(bases[0])
     for j in range(len(bases)):
-        nb, words, tbits, h, valid = inflight
+        nb, buf, meta, h, valid = inflight
         if j + 1 < len(bases):
             inflight = dispatch(bases[j + 1])
-        words_np, tbits_np = fetch(words, tbits)
-        flat = words_np.reshape(words_np.shape[0], -1)
-        for i in range(nb):
-            tb = int(tbits_np[i])
-            assert tb % 8 == 0, "shard streams must be byte-aligned"
-            comp_lens.append(tb // 8)
-            out += flat[i].tobytes()[:tb // 8]
+        # per-device exact-bytes fetch (on a multi-host pod each host
+        # fetches only its own devices' regions — distributed.py)
+        meta_np = np.asarray(meta)               # (ndev, 1 + Bl)
+        for d in range(ndev):
+            g0 = d * Bl
+            if g0 >= nb:
+                break
+            out += fetchers[d](buf[d], int(meta_np[d, 0])).tobytes()
+            for i in range(min(Bl, nb - g0)):
+                comp_lens.append(int(meta_np[d, 1 + i]))
         h_np = np.asarray(h)
         if hash_kind == "adler":
             vals = checksum.adler_finalize(h_np[:nb, 0], h_np[:nb, 1],
