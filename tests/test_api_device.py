@@ -107,6 +107,20 @@ def test_streaming_device_dictionary(data):
     assert len(o1.getvalue()) < len(o2.getvalue())
 
 
+def test_device_encoder_split_equals_oneshot(data):
+    """Shard-aligned encode() splits must be bit-identical to one shot:
+    the host-side history tail carries the exact cross-call context."""
+    from flate_tpu.jx.pipeline2 import DeviceEncoder
+    kw = dict(level=6, shard_len=S, ctx=512, batch=3, interpret=True)
+    e1 = DeviceEncoder(**kw)
+    one = e1.encode(data, final=True)
+    e2 = DeviceEncoder(**kw)
+    cut = 3 * S
+    split = e2.encode(data[:cut]) + e2.encode(data[cut:], final=True)
+    assert split == one
+    assert e2.comp_lens == e1.comp_lens
+
+
 def test_device_empty_and_tiny():
     assert pygz.decompress(
         ft.gzip.compress(b"", device=True, opts=_opts())) == b""
