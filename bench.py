@@ -296,7 +296,7 @@ def sec_inflate() -> dict:
     return res
 
 
-def _devicetime_decode(blob: bytes, nshards: int = 32) -> dict:
+def _devicetime_decode(blob: bytes, nshards: int = 8) -> dict:
     """Pure device-side decode GB/s: one packed coded run timed with a
     one-element sync, so the ~40 MB/s tunnel does not pollute the
     design metric (STATUS r4: 'device-side GB/s is the number that
