@@ -251,7 +251,11 @@ def _pass1(comp, lims_ll, kbase_ll, syms_ll, lims_d, kbase_d, syms_d):
     L, idx = _thresh_decode(v15, lims_ll, kbase_ll)
     bad = L > 15
     idx = jnp.clip(idx, 0, syms_ll.shape[1] - 1)
-    sym = jnp.take_along_axis(syms_ll, idx, axis=1)
+    # MXU one-hot lookup: take_along_axis scalarizes (~3.7 ns/elem) and
+    # was 135 of the 185 ms decode batch (r5 chip profile)
+    from . import onehot
+    sym = onehot.lookup_onehot(syms_ll.astype(jnp.uint32),
+                               idx).astype(jnp.int32)
 
     is_lit = (sym < 256) & ~bad
     is_eob = (sym == 256) & ~bad
@@ -268,7 +272,8 @@ def _pass1(comp, lims_ll, kbase_ll, syms_ll, lims_d, kbase_d, syms_d):
     Ld, idxd = _thresh_decode(vd15, lims_d, kbase_d)
     bad |= is_m & (Ld > 15)
     idxd = jnp.clip(idxd, 0, syms_d.shape[1] - 1)
-    dsym = jnp.take_along_axis(syms_d, idxd, axis=1)
+    dsym = onehot.lookup_onehot(syms_d.astype(jnp.uint32),
+                                idxd).astype(jnp.int32)
     bad |= is_m & (dsym > 29)
     di = jnp.clip(dsym, 0, 29)
     dbase, deb = _dist_decode(di)

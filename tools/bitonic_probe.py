@@ -20,42 +20,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 R, C = 2048, 128              # one row: 262144 elements as (R, C) i32
-NOPS = 9                      # key + 8 carried operands
+import os
+NOPS = int(os.environ.get("BP_NOPS", "9"))  # key + carried operands
 
 
-def _partner(x, j):
-    """x (R, C); partner along flat index i ^ j (j a power of two)."""
-    if j >= C:
-        m = j // C
-        # rows grouped as (R/2m, 2, m): swap the pair halves
-        return x.reshape(R // (2 * m), 2, m, C)[:, ::-1].reshape(R, C)
-    # lanes grouped as (C/2j, 2, j): swap halves within each group
-    return x.reshape(R, C // (2 * j), 2, j)[:, :, ::-1].reshape(R, C)
+def _partner(x, j, m):
+    """x (R, C); partner along flat index i ^ j (dynamic powers of two;
+    m = j // C when j >= C else 0).  XOR pairing as two dynamic rolls +
+    a select (Mosaic lowers pltpu.roll with traced shifts; reshapes/rev
+    do not lower)."""
+    row_case = m > 0
+    idx_r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    idx_c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    mm = jnp.maximum(m, 1)
+    jj = jnp.maximum(j, 1)
+    fwd_r = pltpu.roll(x, R - mm, 0)
+    bwd_r = pltpu.roll(x, mm, 0)
+    pr = jnp.where((idx_r & mm) == 0, fwd_r, bwd_r)
+    fwd_c = pltpu.roll(x, C - jj, 1)
+    bwd_c = pltpu.roll(x, jj, 1)
+    pc = jnp.where((idx_c & jj) == 0, fwd_c, bwd_c)
+    return jnp.where(row_case, pr, pc)
 
 
-def _substage(key, ops, j, k):
-    kp = _partner(key, j)
-    iota = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
-            + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1))
-    up = (iota & j) == 0                 # lower element of the pair
-    asc = (iota & k) == 0                # ascending region of stage k
-    # keep = min on (up == asc), max otherwise
-    takep = (kp < key) == (up == asc)
-    nkey = jnp.where(takep, kp, key)
-    nops = [jnp.where(takep, _partner(o, j), o) for o in ops]
-    return nkey, nops
-
-
-def _kernel(stages, key_ref, *refs):
+def _kernel(nstages, stage_ref, key_ref, *refs):
     ops_refs = refs[:NOPS - 1]
     out_refs = refs[NOPS - 1:]
-    key = key_ref[0]
-    ops = [r[0] for r in ops_refs]
-    for (j, k) in stages:
-        key, ops = _substage(key, ops, j, k)
-    out_refs[0][0] = key
-    for i, o in enumerate(ops):
-        out_refs[1 + i][0] = o
+    out_refs[0][0] = key_ref[0]
+    for i, r in enumerate(ops_refs):
+        out_refs[1 + i][0] = r[0]
+    iota = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+            + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1))
+
+    def body(s, _):
+        j = stage_ref[0, s, 0]
+        k = stage_ref[0, s, 1]
+        m = stage_ref[0, s, 2]
+        key = out_refs[0][0]
+        kp = _partner(key, j, m)
+        up = (iota & j) == 0             # lower element of the pair
+        asc = (iota & k) == 0            # ascending region of stage k
+        takep = (kp < key) == (up == asc)
+        out_refs[0][0] = jnp.where(takep, kp, key)
+        for i in range(NOPS - 1):
+            o = out_refs[1 + i][0]
+            out_refs[1 + i][0] = jnp.where(takep, _partner(o, j, m), o)
+        return 0
+
+    jax.lax.fori_loop(0, nstages, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("stages", "interpret"))
@@ -64,14 +76,24 @@ def run(key, ops, stages, interpret=False):
     spec = pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, R, C), jnp.uint32)
+    st = np.asarray([(j, k, j // C if j >= C else 0)
+                     for (j, k) in stages], np.int32)
+    st_dev = jnp.asarray(np.broadcast_to(st, (B,) + st.shape))
     return pl.pallas_call(
-        functools.partial(_kernel, stages),
+        functools.partial(_kernel, len(stages)),
         grid=(B,),
-        in_specs=[spec] * NOPS,
+        in_specs=[pl.BlockSpec((1, len(stages), 3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [spec] * NOPS,
         out_specs=(spec,) * NOPS,
         out_shape=(shape,) * NOPS,
+        # in-place accumulate in the OUT refs; alias so HBM stays one
+        # copy per operand (v5e VMEM is 16 MB)
+        input_output_aliases={1 + i: i for i in range(NOPS)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(key, *ops)
+    )(st_dev, key, *ops)
 
 
 def correctness():
