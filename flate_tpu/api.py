@@ -495,8 +495,25 @@ def _compress_oneshot_device(raw: bytes, writer, container: Container,
 
 
 def _decompress_oneshot(data, writer, container: Container,
-                        verify: bool = True, dictionary=None):
+                        verify: bool = True, dictionary=None,
+                        device: Optional[bool] = None):
     from . import metrics
+    if device is None:
+        device = _device_default()
+    if device and dictionary is None and verify \
+            and isinstance(data, (bytes, bytearray, memoryview)):
+        # device shard-parallel decode of FLT1-indexed members
+        # (jx.inflate2); members without an index fall through to the
+        # host engine
+        try:
+            from .jx.inflate2 import decompress_device
+            out = decompress_device(bytes(data), container)
+            if writer is None:
+                return out
+            writer.write(out)
+            return None
+        except LookupError:
+            pass
     if not isinstance(data, (bytes, bytearray, memoryview)) \
             and writer is not None:
         # reader -> writer: fully streaming, O(64K) decode state +
@@ -534,9 +551,13 @@ def _make_namespace(container: Container) -> SimpleNamespace:
         return _compress_oneshot(data, writer, container, level, "deflate",
                                  meta, opts, dictionary, device)
 
-    def decompress(data, writer=None, verify: bool = True, dictionary=None):
+    def decompress(data, writer=None, verify: bool = True, dictionary=None,
+                   device=None):
+        """device=True decodes FLT1-indexed members shard-parallel on
+        the TPU (jx.inflate2.decompress_device); device=None consults
+        FLATE_TPU_DEVICE=1.  Unindexed input uses the host engine."""
         return _decompress_oneshot(data, writer, container, verify,
-                                   dictionary)
+                                   dictionary, device)
 
     def compressor(writer, level: int = consts.LEVEL_DEFAULT, meta=None,
                    opts=None, dictionary=None, device: bool = False):

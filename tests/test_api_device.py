@@ -141,6 +141,22 @@ def test_env_routes_to_device(data, monkeypatch):
     assert pygz.decompress(blob_host) == data
 
 
+def test_decompress_device_routing(data, monkeypatch):
+    """decompress(device=True) decodes indexed members via
+    jx.inflate2.decompress_device; unindexed input falls back host."""
+    import functools
+    from flate_tpu.jx import inflate2
+    blob = ft.gzip.compress(data, level=6, device=True, opts=_opts())
+    monkeypatch.setattr(
+        "flate_tpu.jx.inflate2.decompress_device",
+        functools.partial(inflate2.decompress_device, batch=2,
+                          interpret=True))
+    assert ft.gzip.decompress(blob, device=True) == data
+    # unindexed (host-compressed) member: LookupError fallback
+    plain = ft.gzip.compress(data, level=6)
+    assert ft.gzip.decompress(plain, device=True) == data
+
+
 def test_cli_tpu_uses_v2(tmp_path, data, monkeypatch):
     """gzip_cli --tpu must run the v2 pipeline (r4 Weak #6)."""
     import flate_tpu.cli.gzip_cli as cli
