@@ -138,7 +138,7 @@ def squeeze_parse(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     # step (~4 GB of HBM traffic per 4 MiB batch); the ring writes one
     # column.  U steps run inline per loop iteration to amortize the
     # XLA while-loop overhead (the DP is latency-, not work-bound).
-    U = 8
+    U = int(_os.environ.get("FLATE_TPU_SQUEEZE_U", "8"))
     assert blk % U == 0
 
     def step(i, h, cost_ring, sel):
