@@ -624,8 +624,25 @@ def _resolve(words, counts, out_lens, ctx0, S: int):
     src = base + o_off - o_dist + k_rel % o_dist
     glob = base + pos_in
     in_range = pos_in < out_lens[:, None]
-    P = jnp.where((o_ism > 0) & in_range, src, glob)
+    is_mb = (o_ism > 0) & in_range
+    P = jnp.where(is_mb, src, glob)
     err = err + jnp.sum(jnp.where(in_range & (P < 0), 1, 0), axis=1)
+    # constant-distance run composition: consecutive match bytes with
+    # the same distance d (RLE runs, periodic data — chains of depth
+    # region/d) resolve analytically in ONE jump to below the region
+    # start, instead of log2(depth) pointer-doubling rounds: for i in
+    # a maximal const-d match run starting at a,
+    #     out[i] == out[a - d + (i - a) % d].
+    # Every intermediate hop i-d, i-2d, ... lies inside the run, so the
+    # composition is exact; chains remaining for the doubling loop only
+    # pass through distance CHANGES (shallow).
+    prev_m = jnp.pad(is_mb, ((0, 0), (1, 0)))[:, :S]
+    prev_d = jnp.pad(o_dist, ((0, 0), (1, 0)))[:, :S]
+    boundary = is_mb & (~prev_m | (prev_d != o_dist))
+    a = jax.lax.cummax(jnp.where(boundary, pos_in, 0), axis=1)
+    # P_run >= base - CTX >= 0 always (dist <= MAX_DISTANCE == CTX)
+    P_run = base + (a - o_dist) + (pos_in - a) % o_dist
+    P = jnp.where(is_mb, P_run, P)
     P = jnp.clip(P, 0, T)
 
     Pf = jnp.concatenate([jnp.arange(CTX, dtype=jnp.int32),
