@@ -38,11 +38,22 @@ from . import onehot
 
 MAX_STORED = consts.MAX_STORED_BLOCK            # 65535
 
-# fixed code tables as device constants
+# fixed code tables as device constants.  Lengths may be truncated to
+# the emittable symbol range, but CODES must come from the FULL 288/32
+# canonical assignment: dropping symbols 286-287 (two 8-bit codes)
+# before assignment shifts every 9-bit code by 4 — bytes >= 144 then
+# emit wrong-but-valid streams (r5 soak found this: tiny incompressible
+# inputs are the only ones that pick fixed blocks AND contain them).
 _FIX_LL_LENS = np.asarray(tables.FIXED_LITLEN_LENS[:consts.NUM_LITLEN],
                           dtype=np.int32)
 _FIX_D_LENS = np.asarray(tables.FIXED_DIST_LENS[:consts.NUM_DIST],
                          dtype=np.int32)
+_FIX_LL_PACKED = (tables.FIXED_LITLEN_CODES[:consts.NUM_LITLEN]
+                  .astype(np.uint32)
+                  | (_FIX_LL_LENS.astype(np.uint32) << 24))
+_FIX_D_PACKED = (tables.FIXED_DIST_CODES[:consts.NUM_DIST]
+                 .astype(np.uint32)
+                 | (_FIX_D_LENS.astype(np.uint32) << 24))
 _LEXTRA = np.zeros(consts.NUM_LITLEN, dtype=np.int32)
 _LEXTRA[257:257 + 29] = tables.LENGTH_EXTRA_BITS
 _DEXTRA = np.asarray(tables.DIST_EXTRA_BITS, dtype=np.int32)
@@ -283,6 +294,12 @@ def build_fields(window_tail: jnp.ndarray, mlen: jnp.ndarray,
     d_tab = _packed(huff.canonical_codes_dev(d_sel_lens,
                                              consts.MAX_CODE_BITS),
                     d_sel_lens)
+    # fixed blocks use the host-precomputed FULL-table codes: the
+    # device canonical assignment over the truncated 286/30 lengths
+    # would mis-place the 9-bit literal codes (see _FIX_LL_PACKED)
+    ll_tab = jnp.where(k_fix, jnp.asarray(_FIX_LL_PACKED)[None, :],
+                       ll_tab)
+    d_tab = jnp.where(k_fix, jnp.asarray(_FIX_D_PACKED)[None, :], d_tab)
 
     # ---- selected block-header fields (replicated per opening) ----
     hv = jnp.where(k_dyn, dyn_hv, lit_hv)

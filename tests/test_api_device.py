@@ -121,6 +121,25 @@ def test_device_encoder_split_equals_oneshot(data):
     assert e2.comp_lens == e1.comp_lens
 
 
+def test_device_fixed_block_high_literals():
+    """Regression (r5 soak): tiny incompressible inputs select FIXED
+    blocks, and bytes >= 144 exercise the 9-bit fixed literal codes —
+    canonical assignment over the truncated 286-symbol table shifted
+    every 9-bit code by 4 (wrong-but-valid streams)."""
+    import numpy as np
+    import zlib as _z
+    from flate_tpu.containers import Container
+    rng = np.random.default_rng(1234)
+    for n in (20, 47, 147, 301):
+        d = bytes(rng.integers(128, 256, n, dtype=np.uint8))
+        for level in (1, 6, 9):
+            blob = compress_device2(d, level=level, container=Container.RAW,
+                                    shard_len=S, ctx=512, batch=2,
+                                    independent=True, interpret=True)
+            assert _z.decompressobj(wbits=-15).decompress(blob) == d, \
+                f"n={n} level={level}"
+
+
 def test_device_empty_and_tiny():
     assert pygz.decompress(
         ft.gzip.compress(b"", device=True, opts=_opts())) == b""
