@@ -121,23 +121,32 @@ def test_device_encoder_split_equals_oneshot(data):
     assert e2.comp_lens == e1.comp_lens
 
 
-def test_device_fixed_block_high_literals():
-    """Regression (r5 soak): tiny incompressible inputs select FIXED
+def _fixed_block_case(n, level):
+    """r5 soak regression: tiny incompressible inputs select FIXED
     blocks, and bytes >= 144 exercise the 9-bit fixed literal codes —
     canonical assignment over the truncated 286-symbol table shifted
     every 9-bit code by 4 (wrong-but-valid streams)."""
     import numpy as np
     import zlib as _z
     from flate_tpu.containers import Container
-    rng = np.random.default_rng(1234)
-    for n in (20, 47, 147, 301):
-        d = bytes(rng.integers(128, 256, n, dtype=np.uint8))
-        for level in (1, 6, 9):
-            blob = compress_device2(d, level=level, container=Container.RAW,
-                                    shard_len=S, ctx=512, batch=2,
-                                    independent=True, interpret=True)
-            assert _z.decompressobj(wbits=-15).decompress(blob) == d, \
-                f"n={n} level={level}"
+    rng = np.random.default_rng(1234 + n)
+    d = bytes(rng.integers(128, 256, n, dtype=np.uint8))
+    blob = compress_device2(d, level=level, container=Container.RAW,
+                            shard_len=S, ctx=512, batch=2,
+                            independent=True, interpret=True)
+    assert _z.decompressobj(wbits=-15).decompress(blob) == d, \
+        f"n={n} level={level}"
+
+
+def test_device_fixed_block_high_literals():
+    _fixed_block_case(47, 6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [20, 147, 301])
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_device_fixed_block_high_literals_sweep(n, level):
+    _fixed_block_case(n, level)
 
 
 def test_device_empty_and_tiny():

@@ -36,6 +36,7 @@ def test_mesh2_smoke(rfc_text):
     assert pygz.decompress(blob) == data
 
 
+@pytest.mark.slow
 def test_level9_squeeze_smoke(data):
     """Level 9 runs the deepest kernel config (K3 pass + squeeze DP)."""
     blob = pipeline2.compress_device2(data, level=9, shard_len=S, ctx=CTX,
