@@ -611,22 +611,44 @@ def _resolve(words, counts, out_lens, ctx0, S: int):
         value.reshape(-1), mode="drop")
     init = init.at[:CTX].set(ctx0.astype(jnp.int32))
 
-    # per output byte: owning symbol via start-marks + cummax
+    # per output byte: owning-symbol fields.  The doubling loop only
+    # needs o_ism and o_dist (P_run below covers EVERY match byte —
+    # singleton runs give a == pos, reproducing the plain source), so
+    # propagate them directly with packed monotone scatter-max +
+    # cummax instead of the former owner-slot + three take_along_axis
+    # gathers: 2 random passes instead of 4 over the (B, S) grid
+    # (chip-measured in tools/resolve_probe.py: the resolve prelude
+    # cost ~47 ms of 109 at T=1.08M, ~7.5 ms per random pass).
     pos_in = jnp.arange(S, dtype=jnp.int32)[None, :]
-    marks = jnp.zeros((B, S + 1), jnp.int32).at[
-        jnp.arange(B)[:, None], jnp.where(live, offs, S)].max(
-        jnp.where(live, slots, 0), mode="drop")[:, :S]
-    owner = jax.lax.cummax(marks, axis=1)
-    o_off = jnp.take_along_axis(offs, owner, axis=1)
-    o_dist = jnp.take_along_axis(dist, owner, axis=1)
-    o_ism = jnp.take_along_axis(is_m.astype(jnp.int32), owner, axis=1)
-    k_rel = pos_in - o_off
-    src = base + o_off - o_dist + k_rel % o_dist
+    rows = jnp.arange(B)[:, None]
+    # pack (offs, is_match): monotone in offs, so cummax tracks the
+    # latest symbol at or before each byte.  offs <= S-1 < 2^30.
+    v1 = jax.lax.cummax(
+        jnp.zeros((B, S + 1), jnp.int32).at[
+            rows, jnp.where(live, offs, S)].max(
+            jnp.where(live, (offs << 1) | is_m.astype(jnp.int32), 0),
+            mode="drop")[:, :S], axis=1)
+    # pack (offs, dist-1) for match symbols: offs <= S-1 < 2^17 and
+    # dist-1 < 2^15 fit u32 (guarded by the S cap in compress shards;
+    # plan_shard rejects larger out_len into the host path)
+    assert S <= 1 << 17, "packed o_dist propagation needs S <= 128K"
+    v2 = jax.lax.cummax(
+        jnp.zeros((B, S + 1), jnp.uint32).at[
+            rows, jnp.where(is_m, offs, S)].max(
+            jnp.where(is_m, (offs.astype(jnp.uint32) << 15)
+                      | (dist - 1).astype(jnp.uint32), 0),
+            mode="drop")[:, :S], axis=1)
+    o_ism = v1 & 1
+    o_dist = (v2 & 0x7FFF).astype(jnp.int32) + 1
     glob = base + pos_in
     in_range = pos_in < out_lens[:, None]
     is_mb = (o_ism > 0) & in_range
-    P = jnp.where(is_mb, src, glob)
-    err = err + jnp.sum(jnp.where(in_range & (P < 0), 1, 0), axis=1)
+    P = glob
+    # out-of-window reference: a match's leftmost source byte is
+    # base + offs - dist (k % dist == 0), so the former per-byte
+    # P < 0 scan reduces to one per-symbol test
+    err = err + jnp.sum(
+        jnp.where(is_m & (base + offs - dist < 0), 1, 0), axis=1)
     # constant-distance run composition: consecutive match bytes with
     # the same distance d (RLE runs, periodic data — chains of depth
     # region/d) resolve analytically in ONE jump to below the region

@@ -156,6 +156,43 @@ def main():
         if s == 0:
             break
 
+    # A/B: full-round doubling with clamped vs promised-in-bounds gather
+    Pf0, init0, Tn = jax.jit(
+        lambda w, c, o, x: initial_pointers(w, c, o, x, S)[:2] + (0,))(
+        words, counts, out_lens, ctx0)
+
+    def loop(mode):
+        @jax.jit
+        def f(p):
+            def cond(c):
+                _, done, r = c
+                return (~done) & (r < 40)
+
+            def body(c):
+                p, _, r = c
+                if mode is None:
+                    p2 = jnp.take(p, p)
+                else:
+                    p2 = p.at[p].get(mode=mode)
+                return p2, jnp.all(p2 == p), r + 1
+
+            p, _, r = jax.lax.while_loop(
+                cond, body, (p, jnp.asarray(False), jnp.int32(0)))
+            return p, r
+        return f
+
+    for mode in (None, "promise_in_bounds"):
+        f = loop(mode)
+        pfix, r = f(Pf0)
+        np.asarray(r)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            pfix, r = f(Pf0)
+        np.asarray(pfix.reshape(-1)[:1]); np.asarray(r)
+        ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"doubling loop mode={mode}: {ms:.1f} ms "
+              f"(rounds={int(np.asarray(r))})", flush=True)
+
     # time the production resolve as-is
     @jax.jit
     def res_now(words, counts, out_lens, ctx0):
