@@ -832,6 +832,10 @@ def _decompress_member_indexed(data: bytes, offset: int,
 
     S = int(out_lens.max()) if len(out_lens) else 1
     S = max(-(-S // 1024) * 1024, 1024)
+    if S > 1 << 17:
+        # our encoder writes <=128K shards; a larger (foreign/hostile)
+        # index exceeds the packed-field bound in _resolve — host path
+        raise LookupError("FLT1 shards too large for device decode")
     NS = S + 128
     n = len(comp_lens)
     out = bytearray()
