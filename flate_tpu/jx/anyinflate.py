@@ -189,21 +189,27 @@ def resolve_compact(words, counts, out_lens, ctx0, *, S: int,
         value.reshape(-1), mode="drop")
     init = init.at[:CTX].set(ctx0.astype(jnp.int32))
 
-    # per output byte: owning symbol via start-marks + cummax (row-local)
+    # per output byte: owning-symbol fields (packed scatter-max
+    # propagation when S fits the 32-bit pack — see
+    # inflate2.propagate_match_fields)
     pos_in = jnp.arange(S, dtype=jnp.int32)[None, :]
-    marks = jnp.zeros((B, S + 1), jnp.int32).at[
-        jnp.arange(B)[:, None], jnp.where(live, offs, S)].max(
-        jnp.where(live, slots, 0), mode="drop")[:, :S]
-    owner = jax.lax.cummax(marks, axis=1)
-    o_off = jnp.take_along_axis(offs, owner, axis=1)
-    o_dist = jnp.take_along_axis(dist, owner, axis=1)
-    o_ism = jnp.take_along_axis(is_m.astype(jnp.int32), owner, axis=1)
-    k_rel = pos_in - o_off
-    src = base + o_off - o_dist + k_rel % o_dist
+    o_ism, o_dist = i2.propagate_match_fields(live, is_m, offs, dist, S)
     in_range = pos_in < out_lens[:, None]
     glob = base + pos_in
-    P = jnp.where((o_ism > 0) & in_range, src, glob)
-    err = err + jnp.sum(jnp.where(in_range & (P < 0), 1, 0), axis=1)
+    is_mb = (o_ism > 0) & in_range
+    # a match's leftmost source byte is base + offs - dist
+    err = err + jnp.sum(
+        jnp.where(is_m & (base + offs - dist < 0), 1, 0), axis=1)
+    # constant-distance run composition (same derivation as
+    # inflate2._resolve: every intermediate hop of a const-d run byte
+    # lies inside the run, so one analytic jump lands below its start;
+    # singleton runs reproduce the plain source pos - dist)
+    prev_m = jnp.pad(is_mb, ((0, 0), (1, 0)))[:, :S]
+    prev_d = jnp.pad(o_dist, ((0, 0), (1, 0)))[:, :S]
+    boundary = is_mb & (~prev_m | (prev_d != o_dist))
+    a = jax.lax.cummax(jnp.where(boundary, pos_in, 0), axis=1)
+    P_run = base + (a - o_dist) + (pos_in - a) % o_dist
+    P = jnp.where(is_mb, P_run, glob)
     P = jnp.clip(P, 0, T)
 
     # compact (row, pos_in) -> buffer order: keys are the buffer

@@ -575,6 +575,45 @@ def decode_batch2(comp, clen, start, lims_ll, kbase_ll, syms_ll,
 # Pass 3 — parallel LZ resolution over the batch
 # ---------------------------------------------------------------------------
 
+def propagate_match_fields(live, is_m, offs, dist, S: int):
+    """Per-byte owning-symbol fields (o_ism, o_dist), each (B, S) i32.
+
+    Fast path (S <= 128K): two packed monotone scatter-max + cummax
+    propagations — 2 random passes over the byte grid instead of the
+    owner-slot indirection's 4 (marks scatter + three take_along_axis
+    gathers).  Chip-measured in tools/resolve_probe.py: the resolve
+    prelude cost ~47 ms of 109 at T=1.08M, ~7.5 ms per random pass;
+    this rewrite landed _resolve 109.4 -> 96.0 ms.  The packs are
+    monotone in offs, so cummax tracks the latest symbol at or before
+    each byte; offs <= S-1 < 2^17 and dist-1 < 2^15 fit one u32.
+
+    Large-S fallback (anyinflate blocks up to 2^22): owner-slot +
+    gathers, where the pack no longer fits 32 bits."""
+    B, NS = offs.shape
+    rows = jnp.arange(B)[:, None]
+    if S <= 1 << 17:
+        v1 = jax.lax.cummax(
+            jnp.zeros((B, S + 1), jnp.int32).at[
+                rows, jnp.where(live, offs, S)].max(
+                jnp.where(live, (offs << 1) | is_m.astype(jnp.int32),
+                          0), mode="drop")[:, :S], axis=1)
+        v2 = jax.lax.cummax(
+            jnp.zeros((B, S + 1), jnp.uint32).at[
+                rows, jnp.where(is_m, offs, S)].max(
+                jnp.where(is_m, (offs.astype(jnp.uint32) << 15)
+                          | (dist - 1).astype(jnp.uint32), 0),
+                mode="drop")[:, :S], axis=1)
+        return v1 & 1, (v2 & 0x7FFF).astype(jnp.int32) + 1
+    slots = jnp.arange(NS, dtype=jnp.int32)[None, :]
+    marks = jnp.zeros((B, S + 1), jnp.int32).at[
+        rows, jnp.where(live, offs, S)].max(
+        jnp.where(live, slots, 0), mode="drop")[:, :S]
+    owner = jax.lax.cummax(marks, axis=1)
+    o_ism = jnp.take_along_axis(is_m.astype(jnp.int32), owner, axis=1)
+    o_dist = jnp.take_along_axis(dist, owner, axis=1)
+    return o_ism, o_dist
+
+
 def _resolve(words, counts, out_lens, ctx0, S: int):
     """words (B, NS) u32 compacted symbols; ctx0 (CTX,) u8 resolved
     context.  Returns (flat output (B*S,) u8 in global layout, err (B,)).
@@ -613,33 +652,9 @@ def _resolve(words, counts, out_lens, ctx0, S: int):
 
     # per output byte: owning-symbol fields.  The doubling loop only
     # needs o_ism and o_dist (P_run below covers EVERY match byte —
-    # singleton runs give a == pos, reproducing the plain source), so
-    # propagate them directly with packed monotone scatter-max +
-    # cummax instead of the former owner-slot + three take_along_axis
-    # gathers: 2 random passes instead of 4 over the (B, S) grid
-    # (chip-measured in tools/resolve_probe.py: the resolve prelude
-    # cost ~47 ms of 109 at T=1.08M, ~7.5 ms per random pass).
+    # singleton runs give a == pos, reproducing the plain source).
     pos_in = jnp.arange(S, dtype=jnp.int32)[None, :]
-    rows = jnp.arange(B)[:, None]
-    # pack (offs, is_match): monotone in offs, so cummax tracks the
-    # latest symbol at or before each byte.  offs <= S-1 < 2^30.
-    v1 = jax.lax.cummax(
-        jnp.zeros((B, S + 1), jnp.int32).at[
-            rows, jnp.where(live, offs, S)].max(
-            jnp.where(live, (offs << 1) | is_m.astype(jnp.int32), 0),
-            mode="drop")[:, :S], axis=1)
-    # pack (offs, dist-1) for match symbols: offs <= S-1 < 2^17 and
-    # dist-1 < 2^15 fit u32 (guarded by the S cap in compress shards;
-    # plan_shard rejects larger out_len into the host path)
-    assert S <= 1 << 17, "packed o_dist propagation needs S <= 128K"
-    v2 = jax.lax.cummax(
-        jnp.zeros((B, S + 1), jnp.uint32).at[
-            rows, jnp.where(is_m, offs, S)].max(
-            jnp.where(is_m, (offs.astype(jnp.uint32) << 15)
-                      | (dist - 1).astype(jnp.uint32), 0),
-            mode="drop")[:, :S], axis=1)
-    o_ism = v1 & 1
-    o_dist = (v2 & 0x7FFF).astype(jnp.int32) + 1
+    o_ism, o_dist = propagate_match_fields(live, is_m, offs, dist, S)
     glob = base + pos_in
     in_range = pos_in < out_lens[:, None]
     is_mb = (o_ism > 0) & in_range

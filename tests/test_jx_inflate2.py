@@ -118,3 +118,48 @@ def test_device_decode_segmented_member(rfc_text):
     bad[len(bad) // 2] ^= 0x40
     with pytest.raises(ft.errors.FlateError):
         _decompress(bytes(bad))
+
+
+def test_propagate_match_fields_paths_agree():
+    """The packed scatter-max fast path (S <= 128K) and the owner-slot
+    fallback (anyinflate blocks beyond the 32-bit pack) must produce
+    identical per-byte (o_ism, o_dist) fields."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    B, NS = 3, 64
+    counts = rng.integers(2, NS, B)
+    offs_l, ism_l, dist_l = [], [], []
+    live_l = []
+    for b in range(B):
+        o, off = [], 0
+        ism, dst = [], []
+        for _ in range(int(counts[b]) - 1):
+            m = rng.integers(0, 2)
+            ln = int(rng.integers(3, 20)) if m else 1
+            o.append(off)
+            ism.append(m)
+            dst.append(int(rng.integers(1, 1 << 15)))
+            off += ln
+        pad = NS - len(o)
+        offs_l.append(o + [0] * pad)
+        ism_l.append(ism + [0] * pad)
+        dist_l.append(dst + [1] * pad)
+        live_l.append([True] * len(o) + [False] * pad)
+    offs = jnp.asarray(offs_l, jnp.int32)
+    is_m = jnp.asarray(ism_l, jnp.int32) > 0
+    dist = jnp.asarray(dist_l, jnp.int32)
+    live = jnp.asarray(live_l)
+    import flate_tpu.jx.inflate2 as i2
+
+    fast = i2.propagate_match_fields(live, is_m, offs, dist, 1 << 10)
+    # force the fallback branch by monkeypatching the static threshold:
+    # call the same math with S just over the pack bound via a large-S
+    # call truncated back down
+    big = i2.propagate_match_fields(live, is_m, offs, dist, (1 << 17) + 1024)
+    ism_f, dist_f = (np.asarray(a) for a in fast)
+    ism_b, dist_b = (np.asarray(a)[:, :1 << 10] for a in big)
+    np.testing.assert_array_equal(ism_f, ism_b)
+    # o_dist is only defined (and only read — boundary ignores prev_d
+    # when prev_m is false) where the owning symbol is a match
+    m = ism_f > 0
+    np.testing.assert_array_equal(dist_f[m], dist_b[m])
